@@ -1,0 +1,18 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+This is the TPU-native "fake cluster" the reference lacks (SURVEY.md §4):
+multi-chip sharding paths (fsdp/sp/dp/tp) compile and execute on fake CPU
+devices; TPU-only kernels fall back to the XLA attention backend.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,35 @@
+"""Dtype policy: bf16 compute with fp32 islands.
+
+The reference relies on CUDA AMP autocast with explicit fp32 assertions for
+AdaLN modulation / time embeddings (model.py:237,469) and fp32 scheduler
+state. On TPU we make the policy explicit: parameters and activations in
+bfloat16, with fp32 for normalization statistics, rotary tables, modulation,
+time embeddings and solver state.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class DTypePolicy:
+    param_dtype: jnp.dtype = jnp.bfloat16
+    compute_dtype: jnp.dtype = jnp.bfloat16
+    # fp32 islands
+    norm_dtype: jnp.dtype = jnp.float32
+    modulation_dtype: jnp.dtype = jnp.float32
+    time_embed_dtype: jnp.dtype = jnp.float32
+    rope_dtype: jnp.dtype = jnp.float32
+    solver_dtype: jnp.dtype = jnp.float32
+
+
+DEFAULT_POLICY = DTypePolicy()
+
+# Full-precision policy for parity testing on CPU.
+FP32_POLICY = DTypePolicy(
+    param_dtype=jnp.float32,
+    compute_dtype=jnp.float32,
+)

@@ -1,0 +1,115 @@
+"""Attention dispatcher: Pallas flash kernel on TPU, XLA reference elsewhere.
+
+Public entrypoint `attention(q, k, v, ...)` mirrors the dispatch role of the
+reference flash_attention wrapper (models/wan/utils/modules/attention.py:
+24-179: FA3 -> FA2 -> SDPA), with the TPU-native backends:
+
+  pallas  — kernels.flash_attention (inference hot path)
+  xla     — masked jnp reference (differentiable; used for training paths
+            and CPU tests)
+
+Inputs are [B, L, N, D]; lengths may be unpadded (padding to kernel block
+multiples is handled here and masked via kv_len / segment ids).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .flash_attention import flash_attention_padded
+
+_FORCE_BACKEND: Optional[str] = None
+
+
+def set_attention_backend(name: Optional[str]):
+    """Force 'pallas' | 'xla' | None (auto)."""
+    global _FORCE_BACKEND
+    _FORCE_BACKEND = name
+
+
+def _backend() -> str:
+    if _FORCE_BACKEND is not None:
+        return _FORCE_BACKEND
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def mha_reference(q, k, v, *, causal=False, q_offset=0, kv_len=None,
+                  q_segments=None, kv_segments=None, softmax_scale=None):
+    """Masked XLA attention with identical semantics to the Pallas kernel.
+
+    fp32 softmax; differentiable (used by training paths until the custom
+    VJP Pallas kernel lands).
+    """
+    b, lq, n, d = q.shape
+    lk = k.shape[1]
+    if softmax_scale is None:
+        softmax_scale = 1.0 / math.sqrt(d)
+    s = jnp.einsum("bqnd,bknd->bnqk", q, k,
+                   preferred_element_type=jnp.float32) * softmax_scale
+    mask = jnp.ones((b, 1, lq, lk), dtype=bool)
+    if causal:
+        row = jnp.arange(lq)[:, None] + q_offset
+        col = jnp.arange(lk)[None, :]
+        mask &= (col <= row)[None, None]
+    if kv_len is not None:
+        mask &= (jnp.arange(lk)[None, :] < kv_len[:, None])[:, None, None, :]
+    if q_segments is not None:
+        mask &= (q_segments[:, :, None] ==
+                 kv_segments[:, None, :])[:, None, :, :]
+    s = jnp.where(mask, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    # fully-masked rows -> 0 (matches kernel's zero-denominator guard)
+    any_valid = jnp.any(mask, axis=-1, keepdims=True)
+    p = jnp.where(any_valid, p, 0.0)
+    o = jnp.einsum("bnqk,bknd->bqnd", p.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32)
+    return o.astype(q.dtype)
+
+
+def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
+              q_segments=None, kv_segments=None, softmax_scale=None,
+              block_q=256, block_k=512):
+    """Multi-head attention over [B, L, N, D] tensors."""
+    if _backend() == "xla":
+        return mha_reference(
+            q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len,
+            q_segments=q_segments, kv_segments=kv_segments,
+            softmax_scale=softmax_scale)
+
+    b, lq, n, d = q.shape
+    lk = k.shape[1]
+    block_q = min(block_q, _round_up(lq, 128))
+    block_k = min(block_k, _round_up(lk, 128))
+    lq_pad = _round_up(lq, block_q)
+    lk_pad = _round_up(lk, block_k)
+
+    if lk_pad != lk and kv_len is None:
+        kv_len = jnp.full((b,), lk, jnp.int32)
+    if lq_pad != lq:
+        q = jnp.pad(q, ((0, 0), (0, lq_pad - lq), (0, 0), (0, 0)))
+        if q_segments is not None:
+            q_segments = jnp.pad(q_segments,
+                                 ((0, 0), (0, lq_pad - lq)),
+                                 constant_values=-1)
+    if lk_pad != lk:
+        k = jnp.pad(k, ((0, 0), (0, lk_pad - lk), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, lk_pad - lk), (0, 0), (0, 0)))
+        if kv_segments is not None:
+            kv_segments = jnp.pad(kv_segments,
+                                  ((0, 0), (0, lk_pad - lk)),
+                                  constant_values=-2)
+
+    o = flash_attention_padded(
+        q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len,
+        q_segments=q_segments, kv_segments=kv_segments,
+        softmax_scale=softmax_scale, block_q=block_q, block_k=block_k)
+    return o[:, :lq]

@@ -92,9 +92,12 @@ def _flash_kernel(
             b = pl.program_id(0) // num_heads
             s = jnp.where(col < kv_len_ref[b], s, NEG_INF)
         if has_segments:
-            qs = qseg_ref[0]  # [bq]
-            ks = kseg_ref[0]  # [bk]
-            s = jnp.where(qs[:, None] == ks[None, :], s, NEG_INF)
+            # qseg block [bq, 128] (lane-broadcast), kseg block [8, bk]
+            # (sublane-broadcast) — TPU tiling-friendly layouts.
+            qs = qseg_ref[0]  # [bq, 128]
+            ks = kseg_ref[0]  # [8, bk]
+            qs_full = jnp.tile(qs, (1, block_k // 128))  # [bq, bk]
+            s = jnp.where(qs_full == ks[:1, :], s, NEG_INF)
 
         m_prev = m_scr[:, :1]                       # [bq, 1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
@@ -149,11 +152,11 @@ def flash_attention_padded(
     grid = (b * n, lq // block_q, lk // block_k)
 
     in_specs = [
-        pl.BlockSpec((1, block_q, d), lambda ibn, iq, ik: (ibn, iq, 0),
+        pl.BlockSpec((1, block_q, d), lambda ibn, iq, ik, *_: (ibn, iq, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, block_k, d), lambda ibn, iq, ik: (ibn, ik, 0),
+        pl.BlockSpec((1, block_k, d), lambda ibn, iq, ik, *_: (ibn, ik, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, block_k, d), lambda ibn, iq, ik: (ibn, ik, 0),
+        pl.BlockSpec((1, block_k, d), lambda ibn, iq, ik, *_: (ibn, ik, 0),
                      memory_space=pltpu.VMEM),
     ]
     inputs = [qf, kf, vf]
@@ -161,16 +164,20 @@ def flash_attention_padded(
     has_segments = q_segments is not None
     if has_segments:
         assert kv_segments is not None
+        # lane/sublane-broadcast layouts to satisfy TPU tiling (see kernel)
+        qseg = jax.lax.broadcast_in_dim(
+            q_segments.astype(jnp.int32), (b, lq, 128), (0, 1))
+        kseg = jax.lax.broadcast_in_dim(
+            kv_segments.astype(jnp.int32), (b, 8, lk), (0, 2))
         in_specs += [
-            pl.BlockSpec((1, block_q),
-                         lambda ibn, iq, ik, _n=n: (ibn // _n, iq),
+            pl.BlockSpec((1, block_q, 128),
+                         lambda ibn, iq, ik, *_, _n=n: (ibn // _n, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k),
-                         lambda ibn, iq, ik, _n=n: (ibn // _n, ik),
+            pl.BlockSpec((1, 8, block_k),
+                         lambda ibn, iq, ik, *_, _n=n: (ibn // _n, 0, ik),
                          memory_space=pltpu.VMEM),
         ]
-        inputs += [q_segments.astype(jnp.int32),
-                   kv_segments.astype(jnp.int32)]
+        inputs += [qseg, kseg]
 
     has_kv_len = kv_len is not None
     kernel = functools.partial(
@@ -185,7 +192,7 @@ def flash_attention_padded(
         pltpu.VMEM((block_q, d), jnp.float32),    # output accumulator
     ]
 
-    out_spec = pl.BlockSpec((1, block_q, d), lambda ibn, iq, ik: (ibn, iq, 0),
+    out_spec = pl.BlockSpec((1, block_q, d), lambda ibn, iq, ik, *_: (ibn, iq, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((b * n, lq, d), q.dtype)
 

@@ -1,0 +1,90 @@
+"""Parameter sharding rules (GSPMD replacement for torch FSDP).
+
+The reference wraps T5 and the DiT in torch FSDP FULL_SHARD with a
+per-block wrap policy (models/wan/distributed/fsdp.py:12-36). On TPU the
+same memory scaling is a NamedSharding over the `fsdp` mesh axis applied to
+the parameter pytree — no wrapper class, no gather/scatter code: GSPMD
+inserts all-gathers at use sites and reduce-scatters in the backward.
+
+Tensor parallelism (absent in the reference) comes free by also sharding
+the head/ffn dimension over `tp`.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.mesh import AXIS_FSDP, AXIS_TP
+
+
+def dit_param_sharding_rules() -> List[Tuple[str, P]]:
+    """(regex over 'path/to/leaf', PartitionSpec) rules for the Wan DiT.
+
+    Conventions: linear weights are [in, out]. FSDP shards the largest
+    (usually output) dim; TP shards the head-structured dim.
+    """
+    return [
+        # attention qkv/o projections: [dim, dim] — tp on heads (out for
+        # qkv, in for o), fsdp on the other dim
+        (r"blocks/\d+/(self_attn|cross_attn)/(q|k|v)/w$",
+         P(AXIS_FSDP, AXIS_TP)),
+        (r"blocks/\d+/(self_attn|cross_attn)/(q|k|v)/b$", P(AXIS_TP)),
+        (r"blocks/\d+/(self_attn|cross_attn)/o/w$", P(AXIS_TP, AXIS_FSDP)),
+        # ffn: fc0 [dim, ffn] tp on ffn; fc1 [ffn, dim] tp on ffn
+        (r"blocks/\d+/ffn/fc0/w$", P(AXIS_FSDP, AXIS_TP)),
+        (r"blocks/\d+/ffn/fc0/b$", P(AXIS_TP)),
+        (r"blocks/\d+/ffn/fc1/w$", P(AXIS_TP, AXIS_FSDP)),
+        # per-block modulation [6, dim] / norms — fsdp over dim
+        (r"blocks/\d+/modulation$", P(None, AXIS_FSDP)),
+        # embeddings / head: fsdp the big dims
+        (r"patch_embed/w$", P(None, AXIS_FSDP)),
+        (r"(text_embedding|time_embedding|time_projection)/fc\d+/w$",
+         P(None, AXIS_FSDP)),
+        (r"head/head/w$", P(AXIS_FSDP, None)),
+    ]
+
+
+def path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def apply_sharding_rules(params, mesh: Mesh,
+                         rules: List[Tuple[str, P]],
+                         default: Optional[P] = None):
+    """Build a sharding pytree matching `params` from regex rules."""
+    default = default if default is not None else P()
+
+    def leaf_sharding(path, leaf):
+        s = path_str(path)
+        for pat, spec in rules:
+            if re.search(pat, s):
+                # drop axes that don't divide the dim evenly
+                fixed = []
+                for dim, ax in zip(leaf.shape, spec):
+                    if ax is None:
+                        fixed.append(None)
+                        continue
+                    size = mesh.shape[ax] if not isinstance(ax, tuple) else 1
+                    fixed.append(ax if dim % size == 0 else None)
+                fixed += [None] * (len(leaf.shape) - len(fixed))
+                return NamedSharding(mesh, P(*fixed))
+        return NamedSharding(mesh, default)
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, params)
+
+
+def shard_params(params, mesh: Mesh, rules: List[Tuple[str, P]]):
+    shardings = apply_sharding_rules(params, mesh, rules)
+    return jax.device_put(params, shardings), shardings

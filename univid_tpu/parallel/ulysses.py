@@ -1,0 +1,41 @@
+"""Ulysses sequence-parallel attention via ICI all-to-all.
+
+Reference mechanism (models/wan/distributed/ulysses.py:9-47): NCCL
+all_to_all scatters heads / gathers sequence, runs full-sequence flash
+attention per head group, then the inverse all_to_all. Here the same data
+movement is two `jax.lax.all_to_all` calls on a named mesh axis inside
+`shard_map` — XLA lowers them onto ICI.
+
+Composition with context-parallel chunking (sequence_parallel.py:64-176):
+activations enter sharded [B, L/sp, N, D]; RoPE has already been applied
+per shard using globally-indexed tables.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..kernels.attention import attention
+
+
+def ulysses_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                      axis_name: str, *, kv_len: Optional[jnp.ndarray] = None,
+                      causal: bool = False) -> jnp.ndarray:
+    """Full-sequence attention over seq-sharded q/k/v [B, L/sp, N, D].
+
+    Returns [B, L/sp, N, D] (same sharding as input).
+    """
+    # scatter heads, gather sequence: [B, L/sp, N, D] -> [B, L, N/sp, D]
+    qg = jax.lax.all_to_all(q, axis_name, split_axis=2, concat_axis=1,
+                            tiled=True)
+    kg = jax.lax.all_to_all(k, axis_name, split_axis=2, concat_axis=1,
+                            tiled=True)
+    vg = jax.lax.all_to_all(v, axis_name, split_axis=2, concat_axis=1,
+                            tiled=True)
+    o = attention(qg, kg, vg, kv_len=kv_len, causal=causal)
+    # inverse: gather heads, scatter sequence
+    return jax.lax.all_to_all(o, axis_name, split_axis=1, concat_axis=2,
+                              tiled=True)

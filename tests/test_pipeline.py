@@ -1,0 +1,117 @@
+"""Tiny end-to-end TI2V pipeline tests (SURVEY.md §4d): 2-layer DiT, tiny
+VAE, few-step generation; determinism + i2v first-frame conditioning."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from univid_tpu.core.config import (
+    GenerationConfig,
+    TMAConfig,
+    WanDiTConfig,
+    WanModelSpec,
+    WanVAEConfig,
+    dit_seq_len,
+    latent_shape,
+)
+from univid_tpu.core.dtypes import FP32_POLICY
+from univid_tpu.models.wan.dit import init_wan_dit
+from univid_tpu.models.wan.vae_api import init_wan_vae
+from univid_tpu.pipelines.ti2v import WanTI2VPipeline
+
+
+def tiny_spec():
+    dit = WanDiTConfig(
+        model_type="ti2v", in_dim=4, out_dim=4, dim=64, ffn_dim=128,
+        freq_dim=32, text_dim=32, num_heads=4, num_layers=2, text_len=8,
+    )
+    vae = WanVAEConfig(
+        dim=8, dec_dim=8, z_dim=4, dim_mult=(1, 2, 2, 2), num_res_blocks=1,
+        temporal_downsample=(False, True, True), spatial_patch=2,
+    )
+    gen = GenerationConfig(size=(32, 32), frame_num=5, sampling_steps=4)
+    return WanModelSpec(name="tiny", dit=dit, vae=vae, generation=gen)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    spec = tiny_spec()
+    dit_params = init_wan_dit(jax.random.PRNGKey(0), spec.dit)
+    # randomize the zero-init head so outputs are non-trivial
+    pt, ph, pw = spec.dit.patch_size
+    dit_params["head"]["head"]["w"] = jax.random.normal(
+        jax.random.PRNGKey(9), (spec.dit.dim, pt * ph * pw *
+                                spec.dit.out_dim)) * 0.05
+    vae_params = init_wan_vae(jax.random.PRNGKey(1), spec.vae)
+    return WanTI2VPipeline(spec, dit_params, vae_params, policy=FP32_POLICY)
+
+
+def _ctx(spec, seed):
+    return jnp.asarray(np.random.default_rng(seed).standard_normal(
+        (spec.dit.text_len, spec.dit.text_dim)), jnp.float32)
+
+
+def test_latent_math():
+    spec = tiny_spec()
+    assert latent_shape(spec, 32, 32, 5) == (4, 2, 2, 2)
+    assert dit_seq_len(spec, 32, 32, 5) == 2  # 2x2 latent / 2x2 patch * 2f
+
+
+def test_t2v_shapes_and_determinism(pipe):
+    spec = pipe.spec
+    ctx, nctx = _ctx(spec, 0), _ctx(spec, 1)
+    v1 = pipe.generate(ctx, nctx, size=(32, 32), frame_num=5,
+                       sampling_steps=4, seed=7)
+    v2 = pipe.generate(ctx, nctx, size=(32, 32), frame_num=5,
+                       sampling_steps=4, seed=7)
+    assert v1.shape == (5, 32, 32, 3)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    arr = np.asarray(v1)
+    assert np.isfinite(arr).all() and arr.min() >= -1 and arr.max() <= 1
+    # different seed -> different video
+    v3 = pipe.generate(ctx, nctx, size=(32, 32), frame_num=5,
+                       sampling_steps=4, seed=8)
+    assert not np.allclose(np.asarray(v1), np.asarray(v3))
+
+
+def test_t2v_latent_only(pipe):
+    spec = pipe.spec
+    x0 = pipe.generate(_ctx(spec, 0), _ctx(spec, 1), size=(32, 32),
+                       frame_num=5, sampling_steps=4, seed=7, decode=False)
+    assert x0.shape == (1, 2, 2, 2, 4)
+
+
+def test_tma_changes_output(pipe):
+    spec = pipe.spec
+    ctx, nctx = _ctx(spec, 0), _ctx(spec, 1)
+    kw = dict(size=(32, 32), frame_num=5, sampling_steps=4, seed=7,
+              decode=False)
+    base = pipe.generate(ctx, nctx, **kw)
+    tma = TMAConfig(enabled=True, weight_max=1.5, text_prefix_len=8)
+    with_tma = pipe.generate(ctx, nctx, tma=tma, **kw)
+    assert not np.allclose(np.asarray(base), np.asarray(with_tma))
+
+
+def test_i2v_first_frame_clamped(pipe):
+    spec = pipe.spec
+    ctx, nctx = _ctx(spec, 0), _ctx(spec, 1)
+    img = jnp.asarray(np.random.default_rng(3).uniform(-1, 1, (32, 32, 3)),
+                      jnp.float32)
+    x0 = pipe.generate(ctx, nctx, size=(32, 32), frame_num=5,
+                       sampling_steps=4, seed=7, img=img, decode=False)
+    from univid_tpu.models.wan.vae_api import vae_encode
+    z0 = vae_encode(pipe.vae_params, spec.vae, img[None, None])
+    # first latent frame must equal the encoded image latent exactly
+    np.testing.assert_allclose(np.asarray(x0[:, 0]), np.asarray(z0[:, 0]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dpm_solver_runs(pipe):
+    spec = pipe.spec
+    v = pipe.generate(_ctx(spec, 0), _ctx(spec, 1), size=(32, 32),
+                      frame_num=5, sampling_steps=4, seed=7,
+                      sample_solver="dpm++", decode=False)
+    assert np.isfinite(np.asarray(v)).all()

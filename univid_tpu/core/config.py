@@ -227,10 +227,26 @@ def _i2v_a14b() -> WanModelSpec:
                                moe_boundary=0.900)
 
 
+def _t2v_1_3b() -> WanModelSpec:
+    # Wan2.1-T2V-1.3B (public release shape): dim 1536, 30 layers, 12 heads,
+    # ffn 8960, 16ch VAE stride (4,8,8). Used by BASELINE.json config 3.
+    dit = WanDiTConfig(
+        model_type="t2v", in_dim=16, out_dim=16, dim=1536, ffn_dim=8960,
+        num_heads=12, num_layers=30,
+    )
+    vae = WanVAEConfig(
+        dim=96, dec_dim=96, z_dim=16, temporal_downsample=(True, True, False),
+        spatial_patch=1, vae_stride=(4, 8, 8),
+    )
+    gen = GenerationConfig(size=(832, 480), frame_num=81, fps=16, shift=5.0)
+    return WanModelSpec(name="t2v-1.3B", dit=dit, vae=vae, generation=gen)
+
+
 WAN_CONFIGS = {
     "ti2v-5B": _ti2v_5b(),
     "t2v-A14B": _t2v_a14b(),
     "i2v-A14B": _i2v_a14b(),
+    "t2v-1.3B": _t2v_1_3b(),
 }
 
 

@@ -49,7 +49,11 @@ from ...parallel.ulysses import ulysses_attention
 
 def init_wan_dit(key, cfg: WanDiTConfig, param_dtype=jnp.float32):
     """Parameter pytree. Weight layouts are [in, out]; the patch embed is a
-    dense layer over (pt, ph, pw, c_in)-flattened patches."""
+    dense layer over (pt, ph, pw, c_in)-flattened patches.
+
+    Blocks are STACKED: every block leaf has a leading [num_layers] axis so
+    the forward runs them as one `lax.scan` (compile-once-per-block instead
+    of a 30x unrolled program) and FSDP shards the stacked leaves."""
     keys = iter(jax.random.split(key, 16 + cfg.num_layers))
     d = cfg.dim
     pt, ph, pw = cfg.patch_size
@@ -83,8 +87,8 @@ def init_wan_dit(key, cfg: WanDiTConfig, param_dtype=jnp.float32):
             p["norm_k"] = jnp.ones((d,), param_dtype)
         return p
 
-    for i in range(cfg.num_layers):
-        k0, k1, k2, k3 = jax.random.split(next(keys), 4)
+    def init_block(k):
+        k0, k1, k2, k3 = jax.random.split(k, 4)
         block = {
             "self_attn": init_attn(k0),
             "cross_attn": init_attn(k1),
@@ -95,7 +99,10 @@ def init_wan_dit(key, cfg: WanDiTConfig, param_dtype=jnp.float32):
         if cfg.cross_attn_norm:
             block["norm3"] = {"w": jnp.ones((d,), param_dtype),
                               "b": jnp.zeros((d,), param_dtype)}
-        params["blocks"][str(i)] = block
+        return block
+
+    block_keys = jax.random.split(next(keys), cfg.num_layers)
+    params["blocks"] = jax.vmap(init_block)(block_keys)
     return params
 
 
@@ -305,8 +312,10 @@ def wan_dit_forward(
     if remat_blocks:
         block_fn = jax.checkpoint(block_fn)
 
-    for i in range(cfg.num_layers):
-        x32 = block_fn(x32, params["blocks"][str(i)])
+    def scan_body(carry, bp):
+        return block_fn(carry, bp), None
+
+    x32, _ = jax.lax.scan(scan_body, x32, params["blocks"])
 
     # ---- head -------------------------------------------------------------
     hp = params["head"]

@@ -129,6 +129,8 @@ def _lam(sigma: float) -> float:
     alpha = 1.0 - sigma
     if sigma <= 0.0:
         return math.inf
+    if alpha <= 0.0:
+        return -math.inf
     return math.log(alpha) - math.log(sigma)
 
 

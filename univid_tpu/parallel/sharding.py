@@ -27,19 +27,21 @@ def dit_param_sharding_rules() -> List[Tuple[str, P]]:
     Conventions: linear weights are [in, out]. FSDP shards the largest
     (usually output) dim; TP shards the head-structured dim.
     """
+    # block leaves are stacked with a leading [num_layers] axis (scanned)
     return [
-        # attention qkv/o projections: [dim, dim] — tp on heads (out for
-        # qkv, in for o), fsdp on the other dim
-        (r"blocks/\d+/(self_attn|cross_attn)/(q|k|v)/w$",
-         P(AXIS_FSDP, AXIS_TP)),
-        (r"blocks/\d+/(self_attn|cross_attn)/(q|k|v)/b$", P(AXIS_TP)),
-        (r"blocks/\d+/(self_attn|cross_attn)/o/w$", P(AXIS_TP, AXIS_FSDP)),
-        # ffn: fc0 [dim, ffn] tp on ffn; fc1 [ffn, dim] tp on ffn
-        (r"blocks/\d+/ffn/fc0/w$", P(AXIS_FSDP, AXIS_TP)),
-        (r"blocks/\d+/ffn/fc0/b$", P(AXIS_TP)),
-        (r"blocks/\d+/ffn/fc1/w$", P(AXIS_TP, AXIS_FSDP)),
-        # per-block modulation [6, dim] / norms — fsdp over dim
-        (r"blocks/\d+/modulation$", P(None, AXIS_FSDP)),
+        # attention qkv/o projections: [L, dim, dim] — tp on heads (out
+        # for qkv, in for o), fsdp on the other dim
+        (r"blocks/(self_attn|cross_attn)/(q|k|v)/w$",
+         P(None, AXIS_FSDP, AXIS_TP)),
+        (r"blocks/(self_attn|cross_attn)/(q|k|v)/b$", P(None, AXIS_TP)),
+        (r"blocks/(self_attn|cross_attn)/o/w$",
+         P(None, AXIS_TP, AXIS_FSDP)),
+        # ffn: fc0 [L, dim, ffn] tp on ffn; fc1 [L, ffn, dim] tp on ffn
+        (r"blocks/ffn/fc0/w$", P(None, AXIS_FSDP, AXIS_TP)),
+        (r"blocks/ffn/fc0/b$", P(None, AXIS_TP)),
+        (r"blocks/ffn/fc1/w$", P(None, AXIS_TP, AXIS_FSDP)),
+        # per-block modulation [L, 6, dim] / norms — fsdp over dim
+        (r"blocks/modulation$", P(None, None, AXIS_FSDP)),
         # embeddings / head: fsdp the big dims
         (r"patch_embed/w$", P(None, AXIS_FSDP)),
         (r"(text_embedding|time_embedding|time_projection)/fc\d+/w$",

@@ -1,0 +1,202 @@
+"""Wan TI2V generation pipeline (unified text-to-video + image-to-video).
+
+Behavioral parity with reference models/wan/textimage2video.py:34-619
+(WanTI2V.generate/t2v/i2v), re-designed for XLA:
+
+  * The whole denoise loop is ONE jitted `lax.scan` over steps: UniPC/DPM++
+    coefficients, TMA text weights and conditioning timesteps are
+    precomputed per step on the host (ops/samplers.py, ops/tma.py) and fed
+    as scan inputs. No host<->device sync inside the loop.
+  * CFG cond/uncond run as a single batch-2 DiT call (the reference runs
+    two sequential forwards per step, textimage2video.py:380-386).
+  * i2v first-frame conditioning: latent clamp (1-m)*z0 + m*x each step
+    and per-token t=0 on the first latent frame (textimage2video.py:
+    550-598, 373-378) — expressed as a static mask, not masks_like
+    tensors.
+  * seq_len formula and padding match textimage2video.py:289-291.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import (
+    GenerationConfig,
+    TMAConfig,
+    WanModelSpec,
+    dit_seq_len,
+    latent_shape,
+)
+from ..core.dtypes import DTypePolicy, DEFAULT_POLICY
+from ..models.wan.dit import wan_dit_forward
+from ..models.wan.vae_api import vae_decode, vae_encode
+from ..ops.rope import build_rope_3d
+from ..ops.samplers import (
+    flow_sigmas,
+    get_sampling_sigmas,
+    precompute_dpm_solver,
+    precompute_unipc,
+    unipc_init_state,
+    unipc_step,
+    dpm_step,
+)
+from ..ops.tma import apply_text_weight, tma_schedule_weights
+
+
+class WanTI2VPipeline:
+    """Array-in/array-out generation driver.
+
+    Text encoding (UMT5 or the fusion projector) happens upstream; this
+    pipeline consumes ready context tensors [text_len, text_dim], mirroring
+    how the fusion wrapper swaps the T5 output for BAGEL context
+    (model_pipeline.py:1669-1697).
+    """
+
+    def __init__(self, spec: WanModelSpec, dit_params, vae_params,
+                 policy: DTypePolicy = DEFAULT_POLICY,
+                 sp_size: int = 1):
+        self.spec = spec
+        self.dit_params = dit_params
+        self.vae_params = vae_params
+        self.policy = policy
+        self.sp_size = sp_size
+
+    # ------------------------------------------------------------------
+    def _solver(self, gen: GenerationConfig):
+        if gen.sample_solver == "unipc":
+            sigmas, timesteps = flow_sigmas(
+                gen.sampling_steps, shift=gen.shift,
+                num_train_timesteps=gen.num_train_timesteps)
+            coeffs = precompute_unipc(sigmas, timesteps=timesteps)
+            return sigmas, coeffs, unipc_step
+        elif gen.sample_solver in ("dpm++", "dpm"):
+            sig = get_sampling_sigmas(gen.sampling_steps, gen.shift)
+            sigmas = np.concatenate([sig, [0.0]])
+            timesteps = np.floor(sig * gen.num_train_timesteps)
+            coeffs = precompute_dpm_solver(sigmas, timesteps=timesteps)
+            return sigmas, coeffs, dpm_step
+        raise NotImplementedError(gen.sample_solver)
+
+    @functools.lru_cache(maxsize=8)
+    def _denoise_fn(self, latent_grid: Tuple[int, int, int], seq_len: int,
+                    steps: int, shift: float, guide_scale: float,
+                    solver: str, i2v: bool, tma_key):
+        """Build + jit the scan-based denoise loop for a static shape."""
+        spec = self.spec
+        cfg = spec.dit
+        gen = GenerationConfig(sampling_steps=steps, shift=shift,
+                               guide_scale=guide_scale, sample_solver=solver)
+        sigmas, coeffs, step_fn = self._solver(gen)
+        arrs = coeffs.device_arrays()
+
+        tma_cfg = TMAConfig(**dict(tma_key)) if tma_key else None
+        if tma_cfg is not None and tma_cfg.enabled:
+            tma_w = tma_schedule_weights(tma_cfg, steps)
+            tma_prefix = min(tma_cfg.text_prefix_len, cfg.text_len // 2)
+        else:
+            tma_w = np.ones(steps, np.float32)
+            tma_prefix = 0
+        arrs["tma_w"] = jnp.asarray(tma_w)
+
+        f, h, w = latent_grid
+        pt, ph, pw = cfg.patch_size
+        grid = (f // pt, h // ph, w // pw)
+        rope_cos, rope_sin = build_rope_3d(cfg.head_dim, grid)
+        per_frame_tokens = grid[1] * grid[2]
+
+        def run(noise, context, context_null, z0):
+            # noise/z0: [1, F, H, W, C]; context*: [1, text_len, text_dim]
+            ctx_pair = jnp.concatenate([context, context_null], axis=0)
+
+            if i2v:
+                l = grid[0] * per_frame_tokens
+                t_zero = jnp.zeros((2, l), bool).at[:, :per_frame_tokens] \
+                    .set(True)
+                frame_mask = jnp.zeros((1, f, h, w, 1)) \
+                    .at[:, :1].set(1.0)  # 1 where clamped to z0
+
+                def clamp(x):
+                    return (frame_mask * z0 + (1.0 - frame_mask) * x)
+                latents = clamp(noise)
+            else:
+                t_zero = None
+                clamp = lambda x: x
+                latents = noise
+
+            state = unipc_init_state(latents)
+
+            def body(state, xs):
+                ctx = ctx_pair
+                if tma_prefix > 0:
+                    ctx = apply_text_weight(ctx, xs["tma_w"], tma_prefix)
+                x2 = jnp.broadcast_to(
+                    state["sample"].astype(jnp.float32),
+                    (2,) + state["sample"].shape[1:])
+                t2 = jnp.full((2,), xs["timestep"], jnp.float32)
+                v = wan_dit_forward(
+                    self.dit_params, cfg, x2, t2, ctx, rope_cos, rope_sin,
+                    t_zero_mask=t_zero, seq_pad_to=seq_len,
+                    policy=self.policy)
+                v_guided = v[1:2] + guide_scale * (v[0:1] - v[1:2])
+                state = step_fn(state, xs, v_guided)
+                state = dict(state, sample=clamp(state["sample"]))
+                return state, None
+
+            state, _ = jax.lax.scan(body, state, arrs)
+            return state["sample"]
+
+        return jax.jit(run)
+
+    # ------------------------------------------------------------------
+    def generate(
+        self,
+        context: jnp.ndarray,              # [text_len, text_dim]
+        context_null: jnp.ndarray,
+        *,
+        size: Tuple[int, int] = (1280, 704),
+        frame_num: int = 121,
+        shift: float = 5.0,
+        sample_solver: str = "unipc",
+        sampling_steps: int = 50,
+        guide_scale: float = 5.0,
+        seed: int = 0,
+        img: Optional[jnp.ndarray] = None,   # [H, W, 3] in [-1, 1]
+        tma: Optional[TMAConfig] = None,
+        decode: bool = True,
+    ):
+        """Returns video [T, H, W, 3] in [-1,1] (or the latent if
+        decode=False). Matches WanTI2V.generate defaults
+        (textimage2video.py:162-237)."""
+        spec = self.spec
+        c, f, h, w = latent_shape(spec, size[0], size[1], frame_num)
+        seq_len = dit_seq_len(spec, size[0], size[1], frame_num,
+                              self.sp_size)
+
+        key = jax.random.PRNGKey(seed)
+        noise = jax.random.normal(key, (1, f, h, w, c), jnp.float32)
+
+        i2v = img is not None
+        if i2v:
+            z0 = vae_encode(self.vae_params, spec.vae,
+                            img[None, None].astype(jnp.float32))
+            # z0: [1, 1, h, w, c] -> broadcast over latent frames
+            z0 = jnp.pad(z0, ((0, 0), (0, f - 1), (0, 0), (0, 0), (0, 0)))
+        else:
+            z0 = jnp.zeros_like(noise)
+
+        tma_key = (tuple(sorted(dataclasses.asdict(tma).items()))
+                   if tma is not None else None)
+        fn = self._denoise_fn((f, h, w), seq_len, sampling_steps, shift,
+                              guide_scale, sample_solver, i2v, tma_key)
+        x0 = fn(noise, context[None], context_null[None], z0)
+        if not decode:
+            return x0
+        video = vae_decode(self.vae_params, spec.vae, x0)
+        return video[0]

@@ -1,0 +1,137 @@
+"""BAGEL model tests: context building, AR decode, image flow gen,
+SigLIP, image VAE — tiny configs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from univid_tpu.models.bagel.autoencoder import (
+    ImageVAEConfig,
+    image_vae_decode,
+    image_vae_encode,
+    init_image_vae,
+)
+from univid_tpu.models.bagel.bagel import (
+    BagelConfig,
+    flattened_position_ids,
+    generate_image_latent,
+    generate_text,
+    init_bagel,
+    init_gen_context,
+    sincos_2d_table,
+    timestep_embedding,
+    unpatchify_latent,
+    update_context_text,
+    update_context_vit,
+)
+from univid_tpu.models.bagel.qwen2_mot import Qwen2MoTConfig
+from univid_tpu.models.bagel.siglip import (
+    SiglipConfig,
+    image_to_patches,
+    init_siglip,
+    siglip_forward,
+)
+
+TINY_LLM = Qwen2MoTConfig(
+    vocab_size=200, hidden_size=32, intermediate_size=64, num_layers=2,
+    num_heads=4, num_kv_heads=2)
+
+TINY = BagelConfig(
+    llm=TINY_LLM, latent_patch_size=2, max_latent_size=8,
+    latent_channel=4, vae_downsample=4, vit_hidden_size=16,
+    vit_patch_size=2, vit_max_num_patch_per_side=8,
+    start_of_image=190, end_of_image=191, bos_token_id=192,
+    eos_token_id=193)
+
+
+@pytest.fixture(scope="module")
+def bagel():
+    return init_bagel(jax.random.PRNGKey(0), TINY)
+
+
+def test_position_helpers():
+    pos = flattened_position_ids(2, 3, 8)
+    np.testing.assert_array_equal(pos, [0, 1, 2, 8, 9, 10])
+    tbl = sincos_2d_table(32, 8)
+    assert tbl.shape == (64, 32)
+    e = timestep_embedding(jnp.asarray([0.0]), 8)
+    np.testing.assert_allclose(np.asarray(e[0, :4]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(e[0, 4:]), 0.0, atol=1e-6)
+
+
+def test_context_and_decode(bagel):
+    ctx = init_gen_context(TINY, capacity=128, dtype=jnp.float32)
+    ids = jnp.asarray([192, 5, 6, 7, 193], jnp.int32)
+    ctx = update_context_text(bagel, TINY, ctx, ids,
+                              compute_dtype=jnp.float32)
+    assert int(ctx["cache"]["len"]) == 5
+    assert int(ctx["rope"]) == 5
+
+    tokens, length = generate_text(bagel, TINY, ctx, max_length=8,
+                                   compute_dtype=jnp.float32)
+    assert tokens.shape == (8,)
+    assert 1 <= int(length) <= 8
+    # deterministic greedy
+    tokens2, _ = generate_text(bagel, TINY, ctx, max_length=8,
+                               compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(tokens2))
+
+
+def test_vit_context_update(bagel):
+    ctx = init_gen_context(TINY, capacity=128, dtype=jnp.float32)
+    vit_embeds = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (6, TINY.vit_hidden_size)), jnp.float32)
+    pos = jnp.asarray(flattened_position_ids(2, 3, 8))
+    ctx = update_context_vit(bagel, TINY, ctx, vit_embeds, pos,
+                             compute_dtype=jnp.float32)
+    assert int(ctx["cache"]["len"]) == 8  # start + 6 + end
+    assert int(ctx["rope"]) == 1  # image advances rope by 1
+
+
+def test_image_generation(bagel):
+    ctx = init_gen_context(TINY, capacity=256, dtype=jnp.float32)
+    ids = jnp.asarray([192, 11, 12, 193], jnp.int32)
+    ctx = update_context_text(bagel, TINY, ctx, ids,
+                              compute_dtype=jnp.float32)
+    cfg_text_ctx = init_gen_context(TINY, capacity=256, dtype=jnp.float32)
+
+    # 16x24 pixels -> latent grid 2x3 (downsample 4 * patch 2 = 8)
+    lat, grid = generate_image_latent(
+        bagel, TINY, ctx, (16, 24), cfg_text_ctx=cfg_text_ctx,
+        num_timesteps=3, cfg_text_scale=2.0, cfg_img_scale=1.0,
+        compute_dtype=jnp.float32, rng=jax.random.PRNGKey(5))
+    assert grid == (2, 3)
+    assert lat.shape == (6, TINY.patch_latent_dim)
+    assert np.isfinite(np.asarray(lat)).all()
+    full = unpatchify_latent(lat, grid, TINY.latent_patch_size,
+                             TINY.latent_channel)
+    assert full.shape == (4, 6, TINY.latent_channel)
+
+
+def test_siglip():
+    cfg = SiglipConfig(hidden_size=16, intermediate_size=32, num_layers=2,
+                       num_heads=2, patch_size=2, image_size=16)
+    params = init_siglip(jax.random.PRNGKey(0), cfg)
+    img = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (8, 6, 3)),
+                      jnp.float32)
+    patches = image_to_patches(img, 2)
+    assert patches.shape == (12, 12)
+    pos = jnp.asarray(flattened_position_ids(4, 3, 8))
+    out = siglip_forward(params, cfg, patches, pos,
+                         compute_dtype=jnp.float32)
+    assert out.shape == (12, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_image_vae_roundtrip():
+    cfg = ImageVAEConfig(ch=16, ch_mult=(1, 2), num_res_blocks=1,
+                         z_channels=4)
+    params = init_image_vae(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (1, 16, 16, 3)),
+                    jnp.float32)
+    z = image_vae_encode(params, cfg, x)
+    assert z.shape == (1, 8, 8, 4)  # downsample 2 for 2-level
+    y = image_vae_decode(params, cfg, z)
+    assert y.shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(y)).all()

@@ -63,11 +63,11 @@ def main():
     per_step = t_denoise / steps_measured
 
     # --- VAE decode --------------------------------------------------------
-    decode = jax.jit(lambda z: vae_decode(vae_params, spec.vae, z))
-    video = decode(x0)
+    decode = jax.jit(lambda vp, z: vae_decode(vp, spec.vae, z))
+    video = decode(vae_params, x0)
     video.block_until_ready()
     t0 = time.perf_counter()
-    video = decode(x0)
+    video = decode(vae_params, x0)
     video.block_until_ready()
     t_decode = time.perf_counter() - t0
 

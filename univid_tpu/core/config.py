@@ -242,11 +242,28 @@ def _t2v_1_3b() -> WanModelSpec:
     return WanModelSpec(name="t2v-1.3B", dit=dit, vae=vae, generation=gen)
 
 
+def _tiny_smoke() -> WanModelSpec:
+    # hermetic smoke-test config (not a reference model): 2-layer DiT +
+    # tiny VAE, used by CLI --mock_weights runs and e2e tests.
+    dit = WanDiTConfig(
+        model_type="ti2v", in_dim=4, out_dim=4, dim=64, ffn_dim=128,
+        freq_dim=32, text_dim=64, num_heads=4, num_layers=2, text_len=16,
+    )
+    vae = WanVAEConfig(
+        dim=8, dec_dim=8, z_dim=4, dim_mult=(1, 2, 2, 2), num_res_blocks=1,
+        temporal_downsample=(False, True, True), spatial_patch=2,
+    )
+    gen = GenerationConfig(size=(64, 64), frame_num=9, fps=8,
+                           sampling_steps=4)
+    return WanModelSpec(name="tiny", dit=dit, vae=vae, generation=gen)
+
+
 WAN_CONFIGS = {
     "ti2v-5B": _ti2v_5b(),
     "t2v-A14B": _t2v_a14b(),
     "i2v-A14B": _i2v_a14b(),
     "t2v-1.3B": _t2v_1_3b(),
+    "tiny": _tiny_smoke(),
 }
 
 

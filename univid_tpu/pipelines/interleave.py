@@ -81,10 +81,26 @@ class InterleaveInferencer:
                                    jnp.asarray(ids, jnp.int32),
                                    compute_dtype=self.dtype)
 
+    def vit_resize(self, image: jnp.ndarray) -> jnp.ndarray:
+        """Stride-aligned resize for the ViT path (the reference
+        ImageTransform role, data/transforms.py:15-287: dims to multiples
+        of the patch stride, clamped to [patch, max_side])."""
+        p = self.siglip_cfg.patch_size
+        max_side = self.siglip_cfg.image_size
+        h, w = image.shape[:2]
+        scale = min(1.0, max_side / max(h, w))
+        th = int(np.clip(round(h * scale / p), 1, max_side // p)) * p
+        tw = int(np.clip(round(w * scale / p), 1, max_side // p)) * p
+        if (th, tw) == (h, w):
+            return image
+        return jax.image.resize(image, (th, tw, image.shape[2]),
+                                method="bilinear")
+
     def update_context_image(self, image: jnp.ndarray, ctx):
-        """image [H, W, 3] in [-1, 1], dims divisible by vit patch."""
+        """image [H, W, 3] in [-1, 1]; resized to vit patch multiples."""
         assert self.siglip_params is not None, "vision tower not loaded"
         scfg = self.siglip_cfg
+        image = self.vit_resize(image)
         patches = image_to_patches(image, scfg.patch_size)
         h_p = image.shape[0] // scfg.patch_size
         w_p = image.shape[1] // scfg.patch_size

@@ -1,0 +1,224 @@
+"""Multi-device parity tests on the virtual 8-CPU mesh.
+
+These are the TPU-native "fake cluster" tests the reference lacks
+(SURVEY.md §4): every distributed path (Ulysses SP attention, context-
+parallel DiT forward with per-shard RoPE, fsdp/tp-sharded train step,
+dp-sharded SigLIP scorer) is executed on 8 fake devices and checked
+bit-close against its single-device counterpart. Reference mechanisms:
+models/wan/distributed/ulysses.py:9-47, sequence_parallel.py:64-176,
+fsdp.py:12-36, eval_understanding.py:209-222.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from univid_tpu.core.config import WanDiTConfig
+from univid_tpu.core.mesh import ALL_AXES, MeshSpec, make_mesh
+from univid_tpu.kernels.attention import attention
+from univid_tpu.models.wan.dit import (init_wan_dit, wan_dit_forward,
+                                       wan_dit_forward_sp)
+from univid_tpu.ops.rope import build_rope_3d
+from univid_tpu.parallel.sharding import (apply_sharding_rules,
+                                          dit_param_sharding_rules)
+from univid_tpu.parallel.ulysses import ulysses_attention
+from univid_tpu.train.trainer import init_train_state, make_dit_train_step
+
+
+requires_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 (virtual) devices")
+
+
+def _sp_mesh(sp=4):
+    devs = np.asarray(jax.devices()[:sp]).reshape(1, 1, sp, 1)
+    return Mesh(devs, ALL_AXES)
+
+
+# ---------------------------------------------------------------------------
+# (a) Ulysses all-to-all attention == full attention
+# ---------------------------------------------------------------------------
+
+
+@requires_8
+@pytest.mark.parametrize("kv_masked", [False, True])
+def test_ulysses_attention_matches_single_device(kv_masked):
+    mesh = _sp_mesh(sp=4)
+    b, l, n, d = 2, 64, 8, 32
+    key = jax.random.PRNGKey(0)
+    q, k, v = (jax.random.normal(kk, (b, l, n, d), jnp.float32)
+               for kk in jax.random.split(key, 3))
+    kv_len = jnp.array([l - 7, l - 13], jnp.int32) if kv_masked else None
+
+    ref = attention(q, k, v, kv_len=kv_len)
+
+    def body(q, k, v):
+        return ulysses_attention(q, k, v, "sp", kv_len=kv_len)
+
+    f = jax.shard_map(body, mesh=mesh,
+                      in_specs=(P(None, "sp"),) * 3,
+                      out_specs=P(None, "sp"),
+                      axis_names={"sp"}, check_vma=False)
+    out = jax.jit(f)(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# (b) sequence-parallel DiT forward == single-device forward
+# ---------------------------------------------------------------------------
+
+
+def _tiny_cfg(**kw):
+    base = dict(model_type="t2v", in_dim=8, out_dim=8, dim=64, ffn_dim=128,
+                freq_dim=32, text_dim=48, num_heads=8, num_layers=2,
+                text_len=12)
+    base.update(kw)
+    return WanDiTConfig(**base)
+
+
+@requires_8
+@pytest.mark.parametrize("i2v,pad", [(False, False), (True, True)])
+def test_sp_dit_forward_matches_single_device(i2v, pad):
+    cfg = _tiny_cfg()
+    mesh = _sp_mesh(sp=4)
+    params = init_wan_dit(jax.random.PRNGKey(0), cfg)
+
+    b, f, h, w = 2, 4, 8, 8
+    pt, ph, pw = cfg.patch_size
+    grid = (f // pt, h // ph, w // pw)
+    l_real = grid[0] * grid[1] * grid[2]
+    per_frame = grid[1] * grid[2]
+    cos, sin = build_rope_3d(cfg.head_dim, grid)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, f, h, w, cfg.in_dim))
+    t = jnp.array([500.0, 500.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(2),
+                            (b, cfg.text_len, cfg.text_dim))
+    t_zero = (jnp.zeros((b, l_real), bool).at[:, :per_frame].set(True)
+              if i2v else None)
+    # pad: force uneven seq -> sp padding + kv_len masking path
+    seq_pad_to = l_real + 24 if pad else None
+
+    ref = wan_dit_forward(params, cfg, x, t, ctx, cos, sin,
+                          t_zero_mask=t_zero, seq_pad_to=seq_pad_to)
+
+    @jax.jit
+    def sp_fn(params, x, t, ctx):
+        return wan_dit_forward_sp(params, cfg, x, t, ctx, cos, sin,
+                                  mesh=mesh, t_zero_mask=t_zero,
+                                  seq_pad_to=seq_pad_to)
+
+    sp = sp_fn(params, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@requires_8
+def test_sp_pipeline_generate_matches_single_device():
+    """Full ti2v denoise loop: sp=4 sharded scan == single-device scan."""
+    from univid_tpu.core.config import WAN_CONFIGS
+    from univid_tpu.models.wan.vae_api import init_wan_vae
+    from univid_tpu.pipelines.ti2v import WanTI2VPipeline
+
+    spec = WAN_CONFIGS["tiny"]
+    dit_params = init_wan_dit(jax.random.PRNGKey(0), spec.dit)
+    vae_params = init_wan_vae(jax.random.PRNGKey(1), spec.vae)
+    ctx = jax.random.normal(jax.random.PRNGKey(2),
+                            (spec.dit.text_len, spec.dit.text_dim))
+    nctx = jnp.zeros_like(ctx)
+    kw = dict(size=(64, 64), frame_num=5, sampling_steps=3, seed=7,
+              decode=False)
+
+    ref = WanTI2VPipeline(spec, dit_params, vae_params).generate(
+        ctx, nctx, **kw)
+    sp_pipe = WanTI2VPipeline(spec, dit_params, vae_params, sp_size=4,
+                              mesh=_sp_mesh(sp=4))
+    out = sp_pipe.generate(ctx, nctx, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# (c) fsdp/tp-sharded train step == unsharded train step
+# ---------------------------------------------------------------------------
+
+
+@requires_8
+def test_sharded_train_step_matches_unsharded():
+    cfg = _tiny_cfg(dim=64, num_heads=4)
+    mesh = make_mesh(MeshSpec(dp=2, fsdp=2, sp=1, tp=2),
+                     devices=jax.devices()[:8])
+    params = init_wan_dit(jax.random.PRNGKey(0), cfg)
+
+    b, f, h, w = 4, 2, 8, 8
+    pt, ph, pw = cfg.patch_size
+    grid = (f // pt, h // ph, w // pw)
+    cos, sin = build_rope_3d(cfg.head_dim, grid)
+
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(1),
+                                     (b, f, h, w, cfg.in_dim)),
+        "context": jax.random.normal(jax.random.PRNGKey(2),
+                                     (b, cfg.text_len, cfg.text_dim)),
+        "t": jnp.full((b,), 400.0),
+        "noise": jax.random.normal(jax.random.PRNGKey(3),
+                                   (b, f, h, w, cfg.in_dim)),
+    }
+
+    # unsharded single-device reference
+    state0, tx = init_train_state(params, learning_rate=1e-3)
+    step = make_dit_train_step(cfg, tx, rope=(cos, sin))
+    state1, loss_ref = step(state0, batch)
+
+    # sharded: params over fsdp/tp rules, batch over dp
+    sharding = apply_sharding_rules(params, mesh, dit_param_sharding_rules())
+    params_s = jax.device_put(params, sharding)
+    state0s, txs = init_train_state(params_s, learning_rate=1e-3)
+    step_s = make_dit_train_step(cfg, txs, mesh=mesh, rope=(cos, sin))
+    batch_s = {k: jax.device_put(v, NamedSharding(mesh, P("dp")))
+               for k, v in batch.items()}
+    with mesh:
+        state1s, loss_s = step_s(state0s, batch_s)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_ref),
+                               rtol=1e-5, atol=1e-6)
+    # parameters after one update must match too
+    flat_ref = jax.tree_util.tree_leaves(state1["params"])
+    flat_s = jax.tree_util.tree_leaves(state1s["params"])
+    for a, bb in zip(flat_ref, flat_s):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# (d) dp-sharded SigLIP scorer == serial scorer
+# ---------------------------------------------------------------------------
+
+
+@requires_8
+def test_dp_sharded_scorer_matches_serial():
+    from univid_tpu.models.bagel.siglip import SiglipConfig
+    from univid_tpu.reflection.scorer import Siglip2Scorer, SiglipTextConfig
+
+    vcfg = SiglipConfig(hidden_size=64, intermediate_size=128, num_layers=2,
+                        num_heads=4, patch_size=16, image_size=32)
+    tcfg = SiglipTextConfig(vocab_size=64, hidden_size=32,
+                            intermediate_size=64, num_layers=1, num_heads=2,
+                            proj_dim=16)
+    frames = [np.random.default_rng(i).integers(
+        0, 255, (40, 56, 3), np.uint8) for i in range(11)]
+
+    serial = Siglip2Scorer(vision_cfg=vcfg, text_cfg=tcfg, image_size=32,
+                           seed=0)
+    e_serial = serial.emb_imgs(frames)
+
+    devs = np.asarray(jax.devices()[:8]).reshape(8, 1, 1, 1)
+    mesh = Mesh(devs, ALL_AXES)
+    sharded = Siglip2Scorer(vision_cfg=vcfg, text_cfg=tcfg, image_size=32,
+                            seed=0, mesh=mesh)
+    e_sharded = sharded.emb_imgs(frames)
+
+    assert e_sharded.shape == e_serial.shape == (11, tcfg.proj_dim)
+    np.testing.assert_allclose(e_sharded, e_serial, rtol=1e-4, atol=1e-5)

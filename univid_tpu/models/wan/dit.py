@@ -176,48 +176,18 @@ def _select_rows(e_pair, mask):
     return jnp.where(m, e_0, e_t)
 
 
-def wan_dit_forward(
-    params,
-    cfg: WanDiTConfig,
-    x: jnp.ndarray,                 # [B, F, H, W, C_in] latent (+cond concat)
-    t: jnp.ndarray,                 # [B] float timesteps (0..1000)
-    context: jnp.ndarray,           # [B, text_len, text_dim]
-    rope_cos: jnp.ndarray,          # [L(_local), head_dim//2]
-    rope_sin: jnp.ndarray,
-    *,
-    t_zero_mask: Optional[jnp.ndarray] = None,  # [B, L] True -> token t=0
-    seq_pad_to: Optional[int] = None,
-    policy: DTypePolicy = DEFAULT_POLICY,
-    sp_axis: Optional[str] = None,
-    remat_blocks: bool = False,
-) -> jnp.ndarray:
-    """Velocity prediction [B, F, H, W, C_out] (fp32).
+def _embed_inputs(params, cfg: WanDiTConfig, x, t, context,
+                  policy: DTypePolicy):
+    """Patch/time/text embeddings shared by the single-device and
+    sequence-parallel drivers.
 
-    When sp_axis is set, this function must run inside shard_map with
-    x/t_zero_mask/rope tables sharded on the sequence axis and context
-    replicated; see pipelines for the sharded driver.
-    """
+    Returns (h tokens [B, L, d], grid, e [B,2,dim], e0 [B,2,6,dim],
+    ctx [B, text_len, dim])."""
     b = x.shape[0]
-    n = cfg.num_heads
-
-    # ---- patch embedding -------------------------------------------------
     tokens, grid = patchify_latent(x.astype(policy.compute_dtype),
                                    cfg.patch_size)
     h = nn.linear(params["patch_embed"], tokens,
                   compute_dtype=policy.compute_dtype)
-    l_real = h.shape[1]
-    if seq_pad_to is not None and seq_pad_to > l_real:
-        h = jnp.pad(h, ((0, 0), (0, seq_pad_to - l_real), (0, 0)))
-    l = h.shape[1]
-    # pad rope tables (identity rotation) and mask padded keys like the
-    # reference k_lens path (attention.py:94-127, model.py:452-457)
-    if sp_axis is None and rope_cos.shape[0] < l:
-        pad = l - rope_cos.shape[0]
-        rope_cos = jnp.pad(rope_cos, ((0, pad), (0, 0)),
-                           constant_values=1.0)
-        rope_sin = jnp.pad(rope_sin, ((0, pad), (0, 0)))
-    self_kv_len = (jnp.full((b,), l_real, jnp.int32)
-                   if (sp_axis is None and l_real < l) else None)
 
     # ---- time embeddings (fp32 island), two-value form -------------------
     t_pair = jnp.stack([t.astype(jnp.float32),
@@ -233,12 +203,6 @@ def wan_dit_forward(
                    compute_dtype=jnp.float32)
     e0 = e0.reshape(b, 2, 6, cfg.dim)                             # [B,2,6,d]
 
-    if t_zero_mask is None:
-        t_zero_mask = jnp.zeros((b, l), dtype=bool)
-    elif t_zero_mask.shape[1] < l:
-        t_zero_mask = jnp.pad(t_zero_mask,
-                              ((0, 0), (0, l - t_zero_mask.shape[1])))
-
     # ---- text context embedding ------------------------------------------
     ctx = context.astype(policy.compute_dtype)
     ctx = nn.linear(params["text_embedding"]["fc0"], ctx,
@@ -246,9 +210,33 @@ def wan_dit_forward(
     ctx = nn.gelu_tanh(ctx)
     ctx = nn.linear(params["text_embedding"]["fc1"], ctx,
                     compute_dtype=policy.compute_dtype)
-    ctx_len = ctx.shape[1]
+    return h, grid, e, e0, ctx
 
-    # ---- blocks -----------------------------------------------------------
+
+def _pad_rope(rope_cos, rope_sin, l):
+    """Pad RoPE tables to l with the identity rotation (cos=1, sin=0)."""
+    if rope_cos.shape[0] < l:
+        pad = l - rope_cos.shape[0]
+        rope_cos = jnp.pad(rope_cos, ((0, pad), (0, 0)),
+                           constant_values=1.0)
+        rope_sin = jnp.pad(rope_sin, ((0, pad), (0, 0)))
+    return rope_cos, rope_sin
+
+
+def _blocks_and_head(params, cfg: WanDiTConfig, h, e, e0, ctx,
+                     rope_cos, rope_sin, t_zero_mask, self_kv_len, *,
+                     policy: DTypePolicy, sp_axis: Optional[str] = None,
+                     remat_blocks: bool = False) -> jnp.ndarray:
+    """Block scan + modulated head over (possibly seq-local) tokens.
+
+    h [B, L_local, d]; rope tables are the L_local slice of the GLOBAL
+    tables (per-shard RoPE, reference sequence_parallel.py:50-55);
+    t_zero_mask [B, L_local]; self_kv_len [B] masks padded keys of the
+    GLOBAL sequence. Returns head output tokens [B, L_local, patch_out].
+    """
+    b, l, _ = h.shape
+    n = cfg.num_heads
+    ctx_len = ctx.shape[1]
     x32 = h.astype(jnp.float32)  # residual stream fp32
 
     def block_fn(x32, bp):
@@ -264,7 +252,8 @@ def wan_dit_forward(
         q = apply_rope(q, rope_cos, rope_sin).astype(policy.compute_dtype)
         k = apply_rope(k, rope_cos, rope_sin).astype(policy.compute_dtype)
         if sp_axis is not None:
-            attn = ulysses_attention(q, k, v, sp_axis)
+            attn = ulysses_attention(q, k, v, sp_axis,
+                                     kv_len=self_kv_len)
         else:
             attn = attention(q, k, v, kv_len=self_kv_len)
         attn = attn.reshape(b, l, cfg.dim)
@@ -324,7 +313,122 @@ def wan_dit_forward(
     shift = _select_rows(head_mod[:, :, 0], t_zero_mask)
     scale = _select_rows(head_mod[:, :, 1], t_zero_mask)
     y = nn.layer_norm(x32, eps=cfg.eps) * (1.0 + scale) + shift
-    out = nn.linear(hp["head"], y, compute_dtype=jnp.float32)
+    return nn.linear(hp["head"], y, compute_dtype=jnp.float32)
+
+
+def wan_dit_forward(
+    params,
+    cfg: WanDiTConfig,
+    x: jnp.ndarray,                 # [B, F, H, W, C_in] latent (+cond concat)
+    t: jnp.ndarray,                 # [B] float timesteps (0..1000)
+    context: jnp.ndarray,           # [B, text_len, text_dim]
+    rope_cos: jnp.ndarray,          # [L, head_dim//2]
+    rope_sin: jnp.ndarray,
+    *,
+    t_zero_mask: Optional[jnp.ndarray] = None,  # [B, L] True -> token t=0
+    seq_pad_to: Optional[int] = None,
+    policy: DTypePolicy = DEFAULT_POLICY,
+    remat_blocks: bool = False,
+) -> jnp.ndarray:
+    """Velocity prediction [B, F, H, W, C_out] (fp32), single program
+    (GSPMD handles any fsdp/tp sharding of params transparently)."""
+    b = x.shape[0]
+    h, grid, e, e0, ctx = _embed_inputs(params, cfg, x, t, context, policy)
+    l_real = h.shape[1]
+    if seq_pad_to is not None and seq_pad_to > l_real:
+        h = jnp.pad(h, ((0, 0), (0, seq_pad_to - l_real), (0, 0)))
+    l = h.shape[1]
+    # pad rope (identity rotation) and mask padded keys like the reference
+    # k_lens path (attention.py:94-127, model.py:452-457)
+    rope_cos, rope_sin = _pad_rope(rope_cos, rope_sin, l)
+    self_kv_len = (jnp.full((b,), l_real, jnp.int32) if l_real < l else None)
+
+    if t_zero_mask is None:
+        t_zero_mask = jnp.zeros((b, l), dtype=bool)
+    elif t_zero_mask.shape[1] < l:
+        t_zero_mask = jnp.pad(t_zero_mask,
+                              ((0, 0), (0, l - t_zero_mask.shape[1])))
+
+    out = _blocks_and_head(params, cfg, h, e, e0, ctx, rope_cos, rope_sin,
+                           t_zero_mask, self_kv_len, policy=policy,
+                           remat_blocks=remat_blocks)
+    return unpatchify_tokens(out.astype(jnp.float32), grid, cfg.patch_size,
+                             cfg.out_dim)
+
+
+def wan_dit_forward_sp(
+    params,
+    cfg: WanDiTConfig,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    context: jnp.ndarray,
+    rope_cos: jnp.ndarray,
+    rope_sin: jnp.ndarray,
+    *,
+    mesh,
+    sp_axis: str = "sp",
+    t_zero_mask: Optional[jnp.ndarray] = None,
+    seq_pad_to: Optional[int] = None,
+    policy: DTypePolicy = DEFAULT_POLICY,
+    remat_blocks: bool = False,
+) -> jnp.ndarray:
+    """Sequence-parallel velocity prediction: context-parallel token
+    chunking + Ulysses all-to-all self-attention.
+
+    TPU-native re-design of reference sp_dit_forward
+    (models/wan/distributed/sequence_parallel.py:64-176): embeddings run
+    replicated, tokens are padded to a multiple of sp and sharded over
+    the `sp` mesh axis inside `jax.shard_map` (partial-manual: only sp is
+    manual, so fsdp/tp param shardings still flow through GSPMD). Each
+    shard applies its GLOBAL slice of the RoPE tables
+    (sequence_parallel.py:50-55); self-attention is Ulysses all-to-all
+    over heads (ulysses.py:9-47) with padded keys masked via kv_len;
+    cross-attn/FFN stay shard-local; the final gather is the out_specs
+    resharding before unpatchify (sequence_parallel.py:140).
+
+    MUST be called under `jax.jit` — partial-manual shard_map only
+    lowers inside a jitted computation.
+    """
+    import functools as _ft
+    from jax.sharding import PartitionSpec as P
+
+    b = x.shape[0]
+    sp = mesh.shape[sp_axis]
+    if cfg.num_heads % sp:
+        raise ValueError(f"num_heads {cfg.num_heads} % sp {sp} != 0")
+
+    h, grid, e, e0, ctx = _embed_inputs(params, cfg, x, t, context, policy)
+    l_real = h.shape[1]
+    l = max(seq_pad_to or 0, l_real)
+    l = -(-l // sp) * sp  # round up to sp multiple
+    if l > l_real:
+        h = jnp.pad(h, ((0, 0), (0, l - l_real), (0, 0)))
+    rope_cos, rope_sin = _pad_rope(rope_cos, rope_sin, l)
+    self_kv_len = jnp.full((b,), l_real, jnp.int32)
+
+    if t_zero_mask is None:
+        t_zero_mask = jnp.zeros((b, l), dtype=bool)
+    elif t_zero_mask.shape[1] < l:
+        t_zero_mask = jnp.pad(t_zero_mask,
+                              ((0, 0), (0, l - t_zero_mask.shape[1])))
+
+    inner = _ft.partial(_blocks_and_head, cfg=cfg, policy=policy,
+                        sp_axis=sp_axis, remat_blocks=remat_blocks)
+
+    def body(params, h, e, e0, ctx, rope_cos, rope_sin, t_zero_mask,
+             self_kv_len):
+        return inner(params, h=h, e=e, e0=e0, ctx=ctx, rope_cos=rope_cos,
+                     rope_sin=rope_sin, t_zero_mask=t_zero_mask,
+                     self_kv_len=self_kv_len)
+
+    out = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(None, sp_axis, None), P(), P(), P(),
+                  P(sp_axis, None), P(sp_axis, None), P(None, sp_axis),
+                  P()),
+        out_specs=P(None, sp_axis, None),
+        axis_names={sp_axis}, check_vma=False,
+    )(params, h, e, e0, ctx, rope_cos, rope_sin, t_zero_mask, self_kv_len)
 
     return unpatchify_tokens(out.astype(jnp.float32), grid, cfg.patch_size,
                              cfg.out_dim)

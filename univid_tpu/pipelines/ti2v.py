@@ -35,7 +35,7 @@ from ..core.config import (
     latent_shape,
 )
 from ..core.dtypes import DTypePolicy, DEFAULT_POLICY
-from ..models.wan.dit import wan_dit_forward
+from ..models.wan.dit import wan_dit_forward, wan_dit_forward_sp
 from ..models.wan.vae_api import vae_decode, vae_encode
 from ..ops.rope import build_rope_3d
 from ..ops.samplers import (
@@ -61,12 +61,19 @@ class WanTI2VPipeline:
 
     def __init__(self, spec: WanModelSpec, dit_params, vae_params,
                  policy: DTypePolicy = DEFAULT_POLICY,
-                 sp_size: int = 1):
+                 sp_size: int = 1, mesh=None):
+        """mesh + sp_size>1 enables the sequence-parallel denoise: tokens
+        shard over the mesh's `sp` axis inside the jitted scan
+        (models/wan/dit.py wan_dit_forward_sp; reference
+        sequence_parallel.py:64-176 + textimage2video.py:289-291)."""
         self.spec = spec
         self.dit_params = dit_params
         self.vae_params = vae_params
         self.policy = policy
         self.sp_size = sp_size
+        self.mesh = mesh
+        if sp_size > 1 and mesh is None:
+            raise ValueError("sp_size > 1 requires a mesh")
 
     # ------------------------------------------------------------------
     def _solver(self, gen: GenerationConfig):
@@ -140,10 +147,16 @@ class WanTI2VPipeline:
                     state["sample"].astype(jnp.float32),
                     (2,) + state["sample"].shape[1:])
                 t2 = jnp.full((2,), xs["timestep"], jnp.float32)
-                v = wan_dit_forward(
-                    dit_params, cfg, x2, t2, ctx, rope_cos, rope_sin,
-                    t_zero_mask=t_zero, seq_pad_to=seq_len,
-                    policy=self.policy)
+                if self.sp_size > 1:
+                    v = wan_dit_forward_sp(
+                        dit_params, cfg, x2, t2, ctx, rope_cos, rope_sin,
+                        mesh=self.mesh, t_zero_mask=t_zero,
+                        seq_pad_to=seq_len, policy=self.policy)
+                else:
+                    v = wan_dit_forward(
+                        dit_params, cfg, x2, t2, ctx, rope_cos, rope_sin,
+                        t_zero_mask=t_zero, seq_pad_to=seq_len,
+                        policy=self.policy)
                 v_guided = v[1:2] + guide_scale * (v[0:1] - v[1:2])
                 state = step_fn(state, xs, v_guided)
                 state = dict(state, sample=clamp(state["sample"]))

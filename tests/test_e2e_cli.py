@@ -1,0 +1,123 @@
+"""End-to-end CLI contract tests: prompt -> UMT5/BAGEL-fusion -> denoise
+-> mp4, through the real code path (reference inference.py:525-720 ->
+model_pipeline.py:2577). Mock weights, identical code path."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from univid_tpu.cli.inference import main as inference_main
+from univid_tpu.data.video_io import read_video_frames
+
+
+BASE = ["--model", "tiny", "--mock_weights", "--video_size", "64x64",
+        "--video_length", "9", "--steps", "2",
+        "--prompt", "a red ball bouncing"]
+
+
+def test_cli_t2v_umt5_path(tmp_path):
+    out = str(tmp_path)
+    res = inference_main(["--mode", "t2v", "--no_bagel",
+                          "--output_dir", out] + BASE)
+    assert len(res) == 1 and res[0]["context_path"] == "umt5"
+    frames = read_video_frames(res[0]["video_path"])
+    assert len(frames) == 9 and frames[0].shape == (64, 64, 3)
+    meta = json.load(open(res[0]["video_path"] + ".json"))
+    assert meta["prompt"] == "a red ball bouncing"
+
+
+def test_cli_t2v_bagel_fusion_path(tmp_path):
+    out = str(tmp_path)
+    res = inference_main(["--mode", "t2v", "--output_dir", out] + BASE)
+    assert res[0]["context_path"] == "bagel_fusion"
+    assert os.path.exists(res[0]["video_path"])
+
+
+def test_cli_i2v_fusion_multimodal(tmp_path):
+    from PIL import Image
+    img_path = str(tmp_path / "seed.png")
+    Image.fromarray(np.full((64, 64, 3), 128, np.uint8)).save(img_path)
+    res = inference_main(["--mode", "i2v", "--image", img_path,
+                          "--null_context", "t5", "--bagel_strength", "0.5",
+                          "--output_dir", str(tmp_path)] + BASE)
+    assert res[0]["mode"] == "i2v"
+    assert res[0]["context_path"] == "bagel_fusion"
+
+
+def test_text_encoder_contract():
+    """Padded rows zeroed; deterministic per prompt; distinct prompts
+    produce distinct contexts (t5.py:506-513 re-pad contract)."""
+    from univid_tpu.core.config import WAN_CONFIGS
+    from univid_tpu.pipelines.encoders import WanTextEncoder
+
+    spec = WAN_CONFIGS["tiny"]
+    enc = WanTextEncoder.random_init(spec)
+    ctx = enc(["hello world", "hello world", "a different longer prompt"])
+    assert ctx.shape == (3, spec.t5.text_len, spec.t5.dim)
+    np.testing.assert_array_equal(np.asarray(ctx[0]), np.asarray(ctx[1]))
+    assert np.abs(np.asarray(ctx[0]) - np.asarray(ctx[2])).max() > 0
+    # "hello world" = 2 tokens -> rows 2.. are zero
+    assert np.abs(np.asarray(ctx[0][2:])).max() == 0.0
+    assert np.abs(np.asarray(ctx[0][:2])).max() > 0
+
+
+def test_projector_checkpoint_roundtrip(tmp_path):
+    """Synthetic torch training_state.pt -> projector pytree with the
+    reference Sequential index layout (model_pipeline.py:1515-1521)."""
+    torch = pytest.importorskip("torch")
+    from univid_tpu.core.checkpoint import load_projector_checkpoint
+    from univid_tpu.core.config import FusionConfig
+    from univid_tpu.models.fusion.projector import context_projector_forward
+
+    cfg = FusionConfig(bagel_hidden_dim=8, wan_text_dim=12,
+                       wan_text_length=6, projector_hidden_mult=2)
+    hidden = cfg.wan_text_dim * 2
+    g = torch.Generator().manual_seed(0)
+    sd = {
+        "context_projector.bagel_to_t5_projector.0.weight":
+            torch.randn(hidden, cfg.bagel_hidden_dim, generator=g),
+        "context_projector.bagel_to_t5_projector.0.bias":
+            torch.randn(hidden, generator=g),
+        "context_projector.bagel_to_t5_projector.1.weight":
+            torch.randn(hidden, generator=g),
+        "context_projector.bagel_to_t5_projector.1.bias":
+            torch.randn(hidden, generator=g),
+        "context_projector.bagel_to_t5_projector.4.weight":
+            torch.randn(cfg.wan_text_dim, hidden, generator=g),
+        "context_projector.bagel_to_t5_projector.4.bias":
+            torch.randn(cfg.wan_text_dim, generator=g),
+        "context_projector.bagel_to_t5_projector.5.weight":
+            torch.randn(cfg.wan_text_dim, generator=g),
+        "context_projector.bagel_to_t5_projector.5.bias":
+            torch.randn(cfg.wan_text_dim, generator=g),
+    }
+    path = str(tmp_path / "training_state.pt")
+    torch.save(sd, path)
+
+    params = load_projector_checkpoint(path, cfg)
+    x = torch.randn(1, 4, cfg.bagel_hidden_dim, generator=g)
+
+    # torch reference forward
+    import torch.nn.functional as F
+    h = x @ sd["context_projector.bagel_to_t5_projector.0.weight"].T \
+        + sd["context_projector.bagel_to_t5_projector.0.bias"]
+    h = F.layer_norm(h, (hidden,),
+                     sd["context_projector.bagel_to_t5_projector.1.weight"],
+                     sd["context_projector.bagel_to_t5_projector.1.bias"])
+    h = F.gelu(h)
+    h = h @ sd["context_projector.bagel_to_t5_projector.4.weight"].T \
+        + sd["context_projector.bagel_to_t5_projector.4.bias"]
+    h = F.layer_norm(h, (cfg.wan_text_dim,),
+                     sd["context_projector.bagel_to_t5_projector.5.weight"],
+                     sd["context_projector.bagel_to_t5_projector.5.bias"])
+    # interpolate to wan_text_length
+    ref = F.interpolate(h.transpose(1, 2), size=cfg.wan_text_length,
+                        mode="linear", align_corners=False).transpose(1, 2)
+
+    out = context_projector_forward(params, cfg,
+                                    jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(),
+                               rtol=1e-4, atol=1e-4)

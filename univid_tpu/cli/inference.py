@@ -53,12 +53,22 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-specific
     p.add_argument("--model", type=str, default="ti2v-5B")
     p.add_argument("--checkpoint_dir", type=str, default=None,
-                   help="Converted checkpoint directory (see "
+                   help="Wan checkpoint directory (DiT + VAE + UMT5, see "
                         "univid_tpu.core.checkpoint)")
+    p.add_argument("--bagel_path", type=str, default=None,
+                   help="BAGEL checkpoint directory (ema.safetensors)")
+    p.add_argument("--training_state", type=str, default=None,
+                   help="Trained ContextProjector checkpoint "
+                        "(training_state.pt / .npz, inference.py:227-236)")
+    p.add_argument("--null_context", type=str, default="bagel",
+                   choices=["bagel", "t5", "zeros"],
+                   help="uncond CFG context source under fusion "
+                        "('bagel' = reference-faithful degenerate CFG)")
     p.add_argument("--mock_weights", action="store_true",
-                   help="Random-init weights (hermetic smoke run)")
+                   help="Random-init weights (hermetic smoke run; the "
+                        "code path is identical to real checkpoints)")
     p.add_argument("--no_bagel", action="store_true",
-                   help="Skip BAGEL; use UMT5/random context directly")
+                   help="Skip BAGEL fusion; pure UMT5 context path")
     return p
 
 
@@ -72,11 +82,16 @@ def _parse_size(s: str):
 
 
 def build_pipeline(args):
+    """(wan_pipeline, spec, text_encoder): the Wan stack + UMT5 prompt
+    encoder — the real code path for both converted checkpoints and the
+    hermetic --mock_weights configuration (reference inference.py:
+    525-720 -> textimage2video.py:36-114)."""
     import jax
     import jax.numpy as jnp
-    from ..core.config import TMAConfig, WAN_CONFIGS
+    from ..core.config import WAN_CONFIGS
     from ..models.wan.dit import init_wan_dit
     from ..models.wan.vae_api import init_wan_vae
+    from ..pipelines.encoders import WanTextEncoder
     from ..pipelines.ti2v import WanTI2VPipeline
 
     spec = WAN_CONFIGS[args.model]
@@ -84,14 +99,85 @@ def build_pipeline(args):
         from ..core.checkpoint import load_wan_checkpoint
         dit_params, vae_params = load_wan_checkpoint(args.checkpoint_dir,
                                                      spec)
+        text_enc = WanTextEncoder.from_checkpoint(args.checkpoint_dir, spec)
     elif args.mock_weights:
         dit_params = init_wan_dit(jax.random.PRNGKey(0), spec.dit,
                                   param_dtype=jnp.bfloat16)
         vae_params = init_wan_vae(jax.random.PRNGKey(1), spec.vae,
                                   param_dtype=jnp.bfloat16)
+        text_enc = WanTextEncoder.random_init(spec)
     else:
         raise SystemExit("pass --checkpoint_dir or --mock_weights")
-    return WanTI2VPipeline(spec, dit_params, vae_params), spec
+    return WanTI2VPipeline(spec, dit_params, vae_params), spec, text_enc
+
+
+def build_fusion(args, wan_pipe, spec):
+    """FusionPipeline (BAGEL extractor + ContextProjector + Wan) or None
+    for the pure-T5 path. Mirrors CrossAttentionFusionPipeline
+    construction (model_pipeline.py:2151-2243) without device juggling."""
+    if args.no_bagel:
+        return None
+
+    import jax
+    import jax.numpy as jnp
+    from ..core.config import FusionConfig
+    from ..models.fusion.extractor import BagelSemanticExtractor
+    from ..models.fusion.projector import init_context_projector
+    from ..pipelines.fusion import FusionPipeline
+
+    if args.bagel_path and not args.mock_weights:
+        from ..core.checkpoint import load_bagel_checkpoint
+        params, cfg, scfg, sig_params, tokenizer = load_bagel_checkpoint(
+            args.bagel_path)
+        fusion_cfg = FusionConfig(
+            bagel_hidden_dim=cfg.llm.hidden_size,
+            wan_text_dim=spec.dit.text_dim,
+            wan_text_length=spec.dit.text_len,
+            fusion_alpha=args.bagel_strength)
+        dtype = jnp.bfloat16
+    elif args.mock_weights:
+        # tiny random BAGEL, identical code path (eval_understanding CLI
+        # uses the same hermetic configuration)
+        from ..models.bagel.bagel import BagelConfig, init_bagel
+        from ..models.bagel.qwen2_mot import Qwen2MoTConfig
+        from ..models.bagel.siglip import SiglipConfig, init_siglip
+        from ..utils.tokenizers import HashTokenizer
+
+        llm = Qwen2MoTConfig(vocab_size=4096, hidden_size=64,
+                             intermediate_size=128, num_layers=2,
+                             num_heads=4, num_kv_heads=2)
+        cfg = BagelConfig(llm=llm, vit_hidden_size=32, vit_patch_size=14,
+                          start_of_image=4090, end_of_image=4091,
+                          bos_token_id=4092, eos_token_id=4093)
+        scfg = SiglipConfig(hidden_size=32, intermediate_size=64,
+                            num_layers=2, num_heads=2, patch_size=14,
+                            image_size=224)
+        params = init_bagel(jax.random.PRNGKey(10), cfg)
+        sig_params = init_siglip(jax.random.PRNGKey(11), scfg)
+        tokenizer = HashTokenizer(vocab_size=4090)
+        fusion_cfg = FusionConfig(
+            bagel_hidden_dim=llm.hidden_size,
+            wan_text_dim=spec.dit.text_dim,
+            wan_text_length=spec.dit.text_len,
+            bagel_sequence_length=min(64, spec.dit.text_len),
+            fusion_alpha=args.bagel_strength)
+        dtype = jnp.float32
+    else:
+        return None  # real Wan checkpoint without BAGEL weights
+
+    extractor = BagelSemanticExtractor(
+        params, cfg, tokenizer, siglip_params=sig_params, siglip_cfg=scfg,
+        target_len=fusion_cfg.bagel_sequence_length, compute_dtype=dtype)
+
+    if args.training_state:
+        from ..core.checkpoint import load_projector_checkpoint
+        projector = load_projector_checkpoint(args.training_state,
+                                              fusion_cfg)
+    else:
+        projector = init_context_projector(jax.random.PRNGKey(12),
+                                           fusion_cfg)
+    return FusionPipeline(wan_pipe, projector, fusion_cfg,
+                          bagel_extractor=extractor)
 
 
 def main(argv=None):
@@ -103,7 +189,8 @@ def main(argv=None):
     from ..core.config import TMAConfig
     from ..data.video_io import save_video
 
-    pipe, spec = build_pipeline(args)
+    pipe, spec, text_enc = build_pipeline(args)
+    fusion = build_fusion(args, pipe, spec)
     prompt = args.prompt or DEFAULT_PROMPT
     size = _parse_size(args.video_size)
     frames = args.video_length or spec.generation.frame_num
@@ -111,20 +198,14 @@ def main(argv=None):
         enabled=not args.disable_dynamic_weight,
         weight_max=args.text_weight_max, weight_min=args.text_weight_min,
         schedule=args.weight_schedule,
-        transition_ratio=args.transition_ratio)
+        transition_ratio=args.transition_ratio,
+        text_prefix_len=spec.dit.text_len)
 
-    # context: BAGEL fusion when available, else deterministic placeholder
-    if args.no_bagel or args.mock_weights:
-        key = jax.random.PRNGKey(abs(hash(prompt)) % 2 ** 31)
-        ctx = jax.random.normal(key, (spec.dit.text_len,
-                                      spec.dit.text_dim), jnp.bfloat16)
-        nctx = jax.random.normal(jax.random.PRNGKey(0),
-                                 (spec.dit.text_len, spec.dit.text_dim),
-                                 jnp.bfloat16)
-    else:
-        raise SystemExit(
-            "full BAGEL fusion requires --checkpoint_dir with converted "
-            "BAGEL weights")
+    # prompt -> UMT5 context (+ negative prompt for CFG), the reference
+    # text_encoder([input_prompt]/[n_prompt]) step (textimage2video.py:
+    # 255-262); the fusion path can still use these for mixing/uncond.
+    ctx_pair = text_enc([prompt, spec.sample_neg_prompt])
+    ctx, nctx = ctx_pair[0], ctx_pair[1]
 
     img = None
     modes = ["t2v", "i2v"] if args.mode == "both" else [args.mode]
@@ -138,12 +219,20 @@ def main(argv=None):
             pil = Image.open(args.image).convert("RGB")
             img = jnp.asarray(np.asarray(pil), jnp.float32) / 127.5 - 1.0
 
-        t0 = time.time()
-        video = pipe.generate(
-            ctx, nctx, size=size, frame_num=frames, shift=args.shift,
+        gen_kwargs = dict(
+            size=size, frame_num=frames, shift=args.shift,
             sample_solver=args.solver, sampling_steps=args.steps,
-            guide_scale=args.guidance, seed=args.seed,
-            img=img if mode == "i2v" else None, tma=tma)
+            guide_scale=args.guidance, seed=args.seed)
+        t0 = time.time()
+        if fusion is not None:
+            video = fusion.generate_video_with_bagel_context(
+                text=prompt, image=img if mode == "i2v" else None,
+                t5_context=ctx, t5_context_null=nctx,
+                null_context=args.null_context, tma=tma, **gen_kwargs)
+        else:
+            video = pipe.generate(
+                ctx, nctx, img=img if mode == "i2v" else None, tma=tma,
+                **gen_kwargs)
         dt = time.time() - t0
 
         stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
@@ -155,6 +244,8 @@ def main(argv=None):
             "frames": frames, "steps": args.steps,
             "guidance": args.guidance, "seed": args.seed,
             "tma": dataclass_dict(tma), "generation_time_s": round(dt, 2),
+            "context_path": ("bagel_fusion" if fusion is not None
+                             else "umt5"),
             "video_path": path,
         }
         with open(path + ".json", "w") as f:

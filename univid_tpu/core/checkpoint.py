@@ -358,6 +358,37 @@ def load_wan_checkpoint(checkpoint_dir: str, spec: WanModelSpec,
     return dit_params, vae_params
 
 
+def load_projector_checkpoint(path: str, cfg, dtype=jnp.float32):
+    """ContextProjector weights from a reference training_state.pt
+    (inference.py:227-236 loads {'context_projector': state_dict}) or a
+    bare projector state dict. torch layout: projection.0/2.{weight,bias}
+    = fc0/ln0? -> reference ContextProjector (model_pipeline.py:1506-1528)
+    is Sequential(Linear, LayerNorm, GELU, Dropout, Linear, LayerNorm)
+    named bagel_to_t5_projector: indices 0, 1, 4, 5."""
+    sd = load_state_dict(path)
+    # unwrap training_state containers
+    for container_key in ("context_projector", "projector",
+                          "model_state_dict"):
+        prefixed = {k[len(container_key) + 1:]: v for k, v in sd.items()
+                    if k.startswith(container_key + ".")}
+        if prefixed:
+            sd = prefixed
+            break
+    root = ""
+    for cand in ("bagel_to_t5_projector.", "projection.", ""):
+        if f"{cand}0.weight" in sd:
+            root = cand
+            break
+    return {
+        "fc0": _lin(sd, f"{root}0", dtype),
+        "ln0": {"w": jnp.asarray(sd[f"{root}1.weight"], dtype),
+                "b": jnp.asarray(sd[f"{root}1.bias"], dtype)},
+        "fc1": _lin(sd, f"{root}4", dtype),
+        "ln1": {"w": jnp.asarray(sd[f"{root}5.weight"], dtype),
+                "b": jnp.asarray(sd[f"{root}5.bias"], dtype)},
+    }
+
+
 def load_bagel_checkpoint(model_path: str, dtype=jnp.bfloat16):
     """BAGEL ema.safetensors + configs -> (params, cfg, siglip cfg/params,
     tokenizer). Requires a real checkpoint directory."""

@@ -186,6 +186,9 @@ class WanModelSpec:
     text_len: int = 512
     num_train_timesteps: int = 1000
     sample_neg_prompt: str = DEFAULT_NEG_PROMPT
+    # UMT5 encoder feeding the DiT cross-attention (t5.py:456-469);
+    # t5.dim must equal dit.text_dim
+    t5: T5Config = field(default_factory=T5Config)
     # A14B dual-expert MoE: two DiT param sets switched at boundary
     # (reference text2video.py:169-201, boundary at :306)
     moe_boundary: Optional[float] = None
@@ -255,7 +258,10 @@ def _tiny_smoke() -> WanModelSpec:
     )
     gen = GenerationConfig(size=(64, 64), frame_num=9, fps=8,
                            sampling_steps=4)
-    return WanModelSpec(name="tiny", dit=dit, vae=vae, generation=gen)
+    t5 = T5Config(vocab_size=512, dim=64, dim_attn=64, dim_ffn=128,
+                  num_heads=4, num_layers=2, text_len=16)
+    return WanModelSpec(name="tiny", dit=dit, vae=vae, generation=gen,
+                        t5=t5, text_len=16)
 
 
 WAN_CONFIGS = {

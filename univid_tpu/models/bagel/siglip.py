@@ -85,6 +85,23 @@ def init_siglip(key, cfg: SiglipConfig, param_dtype=jnp.float32):
     return params
 
 
+def vit_aligned_resize(image: jnp.ndarray, patch: int, max_side: int
+                       ) -> jnp.ndarray:
+    """Stride-aligned bilinear resize for the ViT path (the reference
+    ImageTransform role, data/transforms.py:15-287: dims to multiples of
+    the patch stride, long edge clamped to max_side)."""
+    import numpy as np
+
+    h, w = image.shape[:2]
+    scale = min(1.0, max_side / max(h, w))
+    th = int(np.clip(round(h * scale / patch), 1, max_side // patch)) * patch
+    tw = int(np.clip(round(w * scale / patch), 1, max_side // patch)) * patch
+    if (th, tw) == (h, w):
+        return image
+    return jax.image.resize(image, (th, tw, image.shape[2]),
+                            method="bilinear")
+
+
 def image_to_patches(image: jnp.ndarray, patch: int) -> jnp.ndarray:
     """[H, W, C] -> [h*w, patch*patch*C] raster order; inner ordering
     (ph, pw, c) matches data_utils.patchify's 'chpwq->hwpqc' (:43-50)."""

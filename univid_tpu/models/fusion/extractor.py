@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 from ...core import nn
 from ..bagel.bagel import BagelConfig, flattened_position_ids
-from ..bagel.siglip import SiglipConfig, image_to_patches, siglip_forward
+from ..bagel.siglip import (SiglipConfig, image_to_patches, siglip_forward,
+                            vit_aligned_resize)
 
 
 class BagelSemanticExtractor:
@@ -42,6 +43,7 @@ class BagelSemanticExtractor:
 
     def _image_tokens(self, image: jnp.ndarray) -> jnp.ndarray:
         scfg = self.siglip_cfg
+        image = vit_aligned_resize(image, scfg.patch_size, scfg.image_size)
         patches = image_to_patches(image, scfg.patch_size)
         h_p = image.shape[0] // scfg.patch_size
         w_p = image.shape[1] // scfg.patch_size

@@ -83,18 +83,10 @@ class InterleaveInferencer:
 
     def vit_resize(self, image: jnp.ndarray) -> jnp.ndarray:
         """Stride-aligned resize for the ViT path (the reference
-        ImageTransform role, data/transforms.py:15-287: dims to multiples
-        of the patch stride, clamped to [patch, max_side])."""
-        p = self.siglip_cfg.patch_size
-        max_side = self.siglip_cfg.image_size
-        h, w = image.shape[:2]
-        scale = min(1.0, max_side / max(h, w))
-        th = int(np.clip(round(h * scale / p), 1, max_side // p)) * p
-        tw = int(np.clip(round(w * scale / p), 1, max_side // p)) * p
-        if (th, tw) == (h, w):
-            return image
-        return jax.image.resize(image, (th, tw, image.shape[2]),
-                                method="bilinear")
+        ImageTransform role, data/transforms.py:15-287)."""
+        from ..models.bagel.siglip import vit_aligned_resize
+        return vit_aligned_resize(image, self.siglip_cfg.patch_size,
+                                  self.siglip_cfg.image_size)
 
     def update_context_image(self, image: jnp.ndarray, ctx):
         """image [H, W, 3] in [-1, 1]; resized to vit patch multiples."""

@@ -1,12 +1,14 @@
-"""XLA attention backend semantics vs a naive numpy oracle.
-
-(The Pallas kernel itself is validated against mha_reference on real TPU;
-see bench/tpu smoke. Here we pin the shared semantics.)"""
+"""XLA attention backend semantics vs a naive numpy oracle, plus the
+Pallas flash kernel in interpret mode vs the XLA reference (so the kernel
+code path — scale/log2e folding, exp2 softmax, masking, online-softmax
+corrections — is exercised in CPU CI, not just on TPU)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from univid_tpu.kernels.attention import mha_reference
+from univid_tpu.kernels.flash_attention import flash_attention_padded
 
 
 def naive(q, k, v, causal=False, q_offset=0, kv_len=None, q_seg=None,
@@ -75,3 +77,31 @@ def test_segments():
         q_segments=jnp.asarray(seg), kv_segments=jnp.asarray(seg)))
     np.testing.assert_allclose(got, naive(q, k, v, q_seg=seg, k_seg=seg),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["full", "kv_len", "causal", "segments"])
+def test_pallas_kernel_interpret_matches_reference(mode):
+    """flash_attention_padded (interpret mode) == mha_reference."""
+    b, lq, lk, n, d = 2, 256, 512, 2, 64
+    q = jnp.asarray(_rand((b, lq, n, d), 0))
+    k = jnp.asarray(_rand((b, lk, n, d), 1))
+    v = jnp.asarray(_rand((b, lk, n, d), 2))
+    kw = {}
+    if mode == "kv_len":
+        kw["kv_len"] = jnp.asarray([300, 512], jnp.int32)
+    elif mode == "causal":
+        q = q[:, :lk]  # square for causal
+        kw["causal"] = True
+    elif mode == "segments":
+        qs = np.zeros((b, lq), np.int32)
+        qs[:, 100:] = 1
+        ks = np.zeros((b, lk), np.int32)
+        ks[:, 200:] = 1
+        kw["q_segments"] = jnp.asarray(qs)
+        kw["kv_segments"] = jnp.asarray(ks)
+
+    ref = mha_reference(q, k, v, **kw)
+    got = flash_attention_padded(q, k, v, block_q=128, block_k=128,
+                                 interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

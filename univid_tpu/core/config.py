@@ -264,12 +264,26 @@ def _tiny_smoke() -> WanModelSpec:
                         t5=t5, text_len=16)
 
 
+def _tiny_moe(i2v: bool = False) -> WanModelSpec:
+    # hermetic dual-expert smoke config mirroring the A14B structure:
+    # i2v in_dim = z + (4 mask + z) conditioning channels
+    base = _tiny_smoke()
+    dit = dataclasses.replace(
+        base.dit, model_type="i2v" if i2v else "t2v",
+        in_dim=(4 + 4 + 4) if i2v else 4)
+    return dataclasses.replace(
+        base, name="tiny-moe-i2v" if i2v else "tiny-moe-t2v", dit=dit,
+        moe_boundary=0.875)
+
+
 WAN_CONFIGS = {
     "ti2v-5B": _ti2v_5b(),
     "t2v-A14B": _t2v_a14b(),
     "i2v-A14B": _i2v_a14b(),
     "t2v-1.3B": _t2v_1_3b(),
     "tiny": _tiny_smoke(),
+    "tiny-moe-t2v": _tiny_moe(False),
+    "tiny-moe-i2v": _tiny_moe(True),
 }
 
 

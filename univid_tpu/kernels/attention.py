@@ -77,8 +77,14 @@ def mha_reference(q, k, v, *, causal=False, q_offset=0, kv_len=None,
 
 def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
               q_segments=None, kv_segments=None, softmax_scale=None,
-              block_q=256, block_k=512):
-    """Multi-head attention over [B, L, N, D] tensors."""
+              block_q=None, block_k=None):
+    """Multi-head attention over [B, L, N, D] tensors.
+
+    Default block sizes auto-tune by sequence length: the v5e sweep
+    (tools/bench_attn.py, 33k tokens x 12 heads x d128) measured 28% MFU
+    at (256, 512) vs 67% at (1024, 1024) — softmax VPU overhead and m/l
+    correction steps amortize over larger tiles. (2048, 2048) exceeds
+    VMEM."""
     if _backend() == "xla":
         return mha_reference(
             q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len,
@@ -87,6 +93,16 @@ def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
 
     b, lq, n, d = q.shape
     lk = k.shape[1]
+    if block_q is None:
+        if lq >= 4096:
+            # 2048 is ~3% faster than 1024 on v5e but only worth it when
+            # it adds no extra q padding
+            block_q = 2048 if _round_up(lq, 2048) == _round_up(lq, 1024) \
+                else 1024
+        else:
+            block_q = 256
+    if block_k is None:
+        block_k = 1024 if lk >= 4096 else 512
     block_q = min(block_q, _round_up(lq, 128))
     block_k = min(block_k, _round_up(lk, 128))
     lq_pad = _round_up(lq, block_q)

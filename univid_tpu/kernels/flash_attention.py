@@ -40,7 +40,6 @@ def _flash_kernel(
     q_offset: int,
     has_kv_len: bool,
     has_segments: bool,
-    scale: float,
 ):
     idx = 0
     kv_len_ref = None
@@ -74,13 +73,13 @@ def _flash_kernel(
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0]  # [bq, d]
+        q = q_ref[0]  # [bq, d] — softmax scale pre-folded by the wrapper
         k = k_ref[0]  # [bk, d]
         v = v_ref[0]  # [bk, d]
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [bq, bk]
+            preferred_element_type=jnp.float32)  # [bq, bk]
 
         col = i_k * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
@@ -99,11 +98,14 @@ def _flash_kernel(
             qs_full = jnp.tile(qs, (1, block_k // 128))  # [bq, bk]
             s = jnp.where(qs_full == ks[:1, :], s, NEG_INF)
 
+        # softmax runs in the exp2 domain: log2(e) is folded into the
+        # q scale by the wrapper, so exp2 here == exp of raw scores and
+        # the VPU skips exp's per-element ln2 multiply.
         m_prev = m_scr[:, :1]                       # [bq, 1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)                      # [bq, bk]
-        corr = jnp.exp(m_prev - m_new)              # [bq, 1]
+        p = jnp.exp2(s - m_new)                     # [bq, bk]
+        corr = jnp.exp2(m_prev - m_new)             # [bq, 1]
 
         l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc_scr[:] * corr + jax.lax.dot_general(
@@ -134,6 +136,7 @@ def flash_attention_padded(
     softmax_scale: Optional[float] = None,
     block_q: int = 256,
     block_k: int = 512,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     b, lq, n, d = q.shape
     lk = k.shape[1]
@@ -142,6 +145,10 @@ def flash_attention_padded(
     assert lq % block_q == 0 and lk % block_k == 0, (lq, lk, block_q, block_k)
     if softmax_scale is None:
         softmax_scale = 1.0 / math.sqrt(d)
+    # fold the softmax scale AND log2(e) into q once (O(L*d)) instead of
+    # scaling every [bq, bk] score tile inside the kernel (O(L^2)); the
+    # kernel's softmax then runs in the exp2 domain
+    q = q * jnp.asarray(softmax_scale * math.log2(math.e), q.dtype)
 
     # [B, L, N, D] -> [B*N, L, D]
     def fold(x):
@@ -183,8 +190,7 @@ def flash_attention_padded(
     kernel = functools.partial(
         _flash_kernel,
         num_heads=n, block_q=block_q, block_k=block_k, causal=causal,
-        q_offset=q_offset, has_kv_len=has_kv_len, has_segments=has_segments,
-        scale=softmax_scale)
+        q_offset=q_offset, has_kv_len=has_kv_len, has_segments=has_segments)
 
     scratch_shapes = [
         pltpu.VMEM((block_q, 128), jnp.float32),  # running max
@@ -208,6 +214,7 @@ def flash_attention_padded(
             kernel,
             grid_spec=grid_spec,
             out_shape=out_shape,
+            interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
         )(kv_len.astype(jnp.int32), *inputs)
@@ -219,6 +226,7 @@ def flash_attention_padded(
             out_specs=out_spec,
             out_shape=out_shape,
             scratch_shapes=scratch_shapes,
+            interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
         )(*inputs)

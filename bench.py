@@ -5,13 +5,15 @@ BASELINE.json config 3: "Wan2.1-T2V-1.3B DiT denoise loop: 480p 81 frames,
 50 flow-matching steps". Measures the jitted batch-2-CFG denoise step
 (lax.scan body) + streaming VAE decode and reports extrapolated
 sec/video for the full 50-step sample. North-star baseline: 60 s/video
-(BASELINE.md). Prints ONE JSON line.
+(BASELINE.md). Also measures the flagship ti2v-5B at the same 480p x 81f
+operating point (reported under detail.flagship_5B). Prints ONE JSON line.
 
 Env knobs:
   BENCH_STEPS   measured denoise steps (default 5; per-step cost is
                 constant so 50-step time = 10x the 5-step scan)
   BENCH_MODEL   WAN_CONFIGS key (default t2v-1.3B)
   BENCH_FRAMES / BENCH_W / BENCH_H
+  BENCH_FLAGSHIP  set to 0 to skip the ti2v-5B row
 """
 
 import json
@@ -23,19 +25,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main():
-    from univid_tpu.core.config import WAN_CONFIGS, latent_shape
+def measure(model: str, w: int, h: int, frames: int, steps_measured: int,
+            full_steps: int = 50, decode: bool = True):
+    from univid_tpu.core.config import WAN_CONFIGS
     from univid_tpu.models.wan.dit import init_wan_dit
     from univid_tpu.models.wan.vae_api import init_wan_vae, vae_decode
     from univid_tpu.pipelines.ti2v import WanTI2VPipeline
     from univid_tpu.core import nn as unn
-
-    model = os.environ.get("BENCH_MODEL", "t2v-1.3B")
-    steps_measured = int(os.environ.get("BENCH_STEPS", "5"))
-    full_steps = 50
-    w = int(os.environ.get("BENCH_W", "832"))
-    h = int(os.environ.get("BENCH_H", "480"))
-    frames = int(os.environ.get("BENCH_FRAMES", "81"))
 
     spec = WAN_CONFIGS[model]
     dit_params = init_wan_dit(jax.random.PRNGKey(0), spec.dit,
@@ -51,7 +47,6 @@ def main():
                              (spec.dit.text_len, spec.dit.text_dim),
                              jnp.bfloat16)
 
-    # --- denoise loop (measured-steps scan, same compiled body as 50) ----
     kw = dict(size=(w, h), frame_num=frames, sampling_steps=steps_measured,
               seed=0, decode=False)
     x0 = pipe.generate(ctx, nctx, **kw)      # compile
@@ -59,32 +54,71 @@ def main():
     t0 = time.perf_counter()
     x0 = pipe.generate(ctx, nctx, **kw)
     x0.block_until_ready()
-    t_denoise = time.perf_counter() - t0
-    per_step = t_denoise / steps_measured
+    per_step = (time.perf_counter() - t0) / steps_measured
 
-    # --- VAE decode --------------------------------------------------------
-    decode = jax.jit(lambda vp, z: vae_decode(vp, spec.vae, z))
-    video = decode(vae_params, x0)
-    video.block_until_ready()
-    t0 = time.perf_counter()
-    video = decode(vae_params, x0)
-    video.block_until_ready()
-    t_decode = time.perf_counter() - t0
+    t_decode = 0.0
+    if decode:
+        dec = jax.jit(lambda vp, z: vae_decode(vp, spec.vae, z))
+        video = dec(vae_params, x0)
+        video.block_until_ready()
+        t0 = time.perf_counter()
+        video = dec(vae_params, x0)
+        video.block_until_ready()
+        t_decode = time.perf_counter() - t0
 
-    sec_per_video = per_step * full_steps + t_decode
+    return {
+        "sec_per_video": round(per_step * full_steps + t_decode, 3),
+        "dit_step_ms": round(per_step * 1e3, 1),
+        "vae_decode_s": round(t_decode, 3),
+        "params_dit": unn.count_params(dit_params),
+    }
+
+
+def main():
+    model = os.environ.get("BENCH_MODEL", "t2v-1.3B")
+    steps_measured = int(os.environ.get("BENCH_STEPS", "5"))
+    w = int(os.environ.get("BENCH_W", "832"))
+    h = int(os.environ.get("BENCH_H", "480"))
+    frames = int(os.environ.get("BENCH_FRAMES", "81"))
+
+    r = measure(model, w, h, frames, steps_measured,
+                decode=os.environ.get("BENCH_DECODE", "1") != "0")
     dev = jax.devices()[0]
+    detail = {
+        "dit_step_ms": r["dit_step_ms"],
+        "vae_decode_s": r["vae_decode_s"],
+        "device": str(dev),
+        "backend": jax.default_backend(),
+        "params_dit": r["params_dit"],
+    }
+
+    if os.environ.get("BENCH_FLAGSHIP", "1") != "0" and model != "ti2v-5B":
+        # separate process so the first model's HBM is fully released
+        # before the 10 GB 5B weights land on the 16 GB v5e
+        import subprocess
+        import sys
+        env = dict(os.environ, BENCH_MODEL="ti2v-5B", BENCH_FLAGSHIP="0",
+                   BENCH_DECODE="0")
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=3600)
+            line = out.stdout.strip().splitlines()[-1]
+            f5 = json.loads(line)
+            detail["flagship_5B"] = {
+                "sec_per_video_no_decode": f5["value"],
+                "dit_step_ms": f5["detail"]["dit_step_ms"],
+                "params_dit": f5["detail"]["params_dit"],
+            }
+        except Exception as e:  # noqa: BLE001
+            detail["flagship_5B"] = {"error": str(e)[:200]}
+
     result = {
         "metric": f"sec_per_video_{h}p{frames}f_50step_{model}",
-        "value": round(sec_per_video, 3),
+        "value": r["sec_per_video"],
         "unit": "s",
-        "vs_baseline": round(sec_per_video / 60.0, 3),
-        "detail": {
-            "dit_step_ms": round(per_step * 1e3, 1),
-            "vae_decode_s": round(t_decode, 3),
-            "device": str(dev),
-            "backend": jax.default_backend(),
-            "params_dit": unn.count_params(dit_params),
-        },
+        "vs_baseline": round(r["sec_per_video"] / 60.0, 3),
+        "detail": detail,
     }
     print(json.dumps(result))
 

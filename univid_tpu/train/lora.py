@@ -120,23 +120,43 @@ def init_lora(key, cfg: WanDiTConfig, lora_cfg: LoRAConfig,
     return {"sites": sites, "rank": r, "alpha": lora_cfg.alpha}
 
 
-def merge_lora(params, lora, *, freeze_base: bool = False):
+def trainable_sites(lora) -> Dict[str, dict]:
+    """The differentiable subset of a LoRA pytree: {site: {'a', 'b'}}.
+    (rank/alpha/masks are hyperparameters, not trainables — keeping them
+    out lets jax.grad/optax run over this tree directly.)"""
+    return {site: {"a": p["a"], "b": p["b"]}
+            for site, p in lora["sites"].items()}
+
+
+def with_sites(lora, sites: Dict[str, dict]):
+    """Rebuild a full LoRA pytree with updated a/b leaves."""
+    merged = {site: dict(p, **sites[site])
+              for site, p in lora["sites"].items()}
+    return dict(lora, sites=merged)
+
+
+def merge_lora(params, lora, *, freeze_base: bool = False,
+               sites: Optional[Dict[str, dict]] = None):
     """Base DiT params + LoRA deltas -> merged params (same pytree).
 
     freeze_base stops gradients into the base weights so jax.grad wrt the
-    lora pytree is exact LoRA training.
+    lora (or `sites`) pytree is exact LoRA training. Pass `sites` to
+    substitute externally-trained a/b leaves (see trainable_sites).
     """
     scale = lora["alpha"] / lora["rank"]
     merged_blocks = dict(params["blocks"])
     base = params["blocks"]
     for site, p in lora["sites"].items():
         mod, proj = site.split("/")
+        a = sites[site]["a"] if sites is not None else p["a"]
+        bb = sites[site]["b"] if sites is not None else p["b"]
         w = base[mod][proj]["w"]
         if freeze_base:
             w = jax.lax.stop_gradient(w)
-        delta = jnp.einsum("lir,lro->lio", p["a"].astype(jnp.float32),
-                           p["b"].astype(jnp.float32))
-        delta = delta * (scale * p["mask"])[:, None, None]
+        delta = jnp.einsum("lir,lro->lio", a.astype(jnp.float32),
+                           bb.astype(jnp.float32))
+        delta = delta * (scale * jax.lax.stop_gradient(p["mask"])
+                         )[:, None, None]
         new_mod = dict(merged_blocks[mod])
         new_proj = dict(new_mod[proj])
         new_proj["w"] = (w.astype(jnp.float32) + delta).astype(w.dtype)
@@ -144,7 +164,9 @@ def merge_lora(params, lora, *, freeze_base: bool = False):
         merged_blocks[mod] = new_mod
     out = dict(params)
     if freeze_base:
-        out = jax.tree_util.tree_map(jax.lax.stop_gradient, out)
+        out = jax.tree_util.tree_map(
+            lambda x: jax.lax.stop_gradient(x)
+            if isinstance(x, jnp.ndarray) else x, out)
     out["blocks"] = merged_blocks
     return out
 

@@ -37,7 +37,7 @@ def measure(model: str, w: int, h: int, frames: int, steps_measured: int,
     dit_params = init_wan_dit(jax.random.PRNGKey(0), spec.dit,
                               param_dtype=jnp.bfloat16)
     vae_params = init_wan_vae(jax.random.PRNGKey(1), spec.vae,
-                              param_dtype=jnp.bfloat16)
+                              param_dtype=jnp.bfloat16) if decode else None
     pipe = WanTI2VPipeline(spec, dit_params, vae_params)
 
     ctx = jax.random.normal(jax.random.PRNGKey(2),

@@ -89,7 +89,13 @@ def load_models(args):
     inferencer = InterleaveInferencer(
         params, cfg, tokenizer, siglip_params=sig_params, siglip_cfg=scfg,
         compute_dtype=jnp.float32 if args.mock_weights else jnp.bfloat16)
-    scorer = Siglip2Scorer(tokenizer=tokenizer)
+    # pretrained SigLIP2 dual tower when a local checkpoint is given
+    # (reference AutoModel path, eval_understanding.py:171-206);
+    # random-init fallback is test-only
+    if not args.mock_weights and os.path.isdir(args.siglip_ckpt):
+        scorer = Siglip2Scorer.from_checkpoint(args.siglip_ckpt)
+    else:
+        scorer = Siglip2Scorer(tokenizer=tokenizer)
     return inferencer, scorer
 
 

@@ -421,6 +421,134 @@ def load_bagel_checkpoint(model_path: str, dtype=jnp.bfloat16):
     return params, cfg, scfg, sig_params, tokenizer
 
 
+def convert_siglip2_text(sd, cfg, dtype=jnp.float32,
+                         prefix: str = "text_model"):
+    """HF SiglipTextTransformer -> scorer text-tower params
+    (reflection/scorer.py init_siglip_text layout). The pooling head
+    (text_model.head) becomes the 'proj' linear applied to the last
+    token (pooling='hf_last')."""
+    params = {
+        "token_embed": jnp.asarray(
+            sd[f"{prefix}.embeddings.token_embedding.weight"], dtype),
+        "pos_embed": jnp.asarray(
+            sd[f"{prefix}.embeddings.position_embedding.weight"], dtype),
+        "final_ln": {
+            "w": jnp.asarray(sd[f"{prefix}.final_layer_norm.weight"],
+                             dtype),
+            "b": jnp.asarray(sd[f"{prefix}.final_layer_norm.bias"],
+                             dtype)},
+        "proj": _lin(sd, f"{prefix}.head", dtype),
+    }
+    layers = []
+    for i in range(cfg.num_layers):
+        b = f"{prefix}.encoder.layers.{i}"
+        layers.append({
+            "ln1": {"w": jnp.asarray(sd[f"{b}.layer_norm1.weight"], dtype),
+                    "b": jnp.asarray(sd[f"{b}.layer_norm1.bias"], dtype)},
+            "attn": {
+                "q": _lin(sd, f"{b}.self_attn.q_proj", dtype),
+                "k": _lin(sd, f"{b}.self_attn.k_proj", dtype),
+                "v": _lin(sd, f"{b}.self_attn.v_proj", dtype),
+                "o": _lin(sd, f"{b}.self_attn.out_proj", dtype)},
+            "ln2": {"w": jnp.asarray(sd[f"{b}.layer_norm2.weight"], dtype),
+                    "b": jnp.asarray(sd[f"{b}.layer_norm2.bias"], dtype)},
+            "mlp": {"fc0": _lin(sd, f"{b}.mlp.fc1", dtype),
+                    "fc1": _lin(sd, f"{b}.mlp.fc2", dtype)},
+        })
+    params["layers"] = _stack(layers)
+    return params
+
+
+def convert_siglip_map_head(sd, dtype=jnp.float32,
+                            prefix: str = "vision_model.head"):
+    """HF SiglipMultiheadAttentionPoolingHead -> map_head_forward params:
+    packed torch MultiheadAttention in_proj [3d, d] split into q/k/v."""
+    d = sd[f"{prefix}.probe"].shape[-1]
+    w = sd[f"{prefix}.attention.in_proj_weight"]
+    b = sd[f"{prefix}.attention.in_proj_bias"]
+    return {
+        "probe": jnp.asarray(sd[f"{prefix}.probe"], dtype),
+        "q": {"w": jnp.asarray(w[:d].T, dtype),
+              "b": jnp.asarray(b[:d], dtype)},
+        "k": {"w": jnp.asarray(w[d:2 * d].T, dtype),
+              "b": jnp.asarray(b[d:2 * d], dtype)},
+        "v": {"w": jnp.asarray(w[2 * d:].T, dtype),
+              "b": jnp.asarray(b[2 * d:], dtype)},
+        "o": _lin(sd, f"{prefix}.attention.out_proj", dtype),
+        "ln": {"w": jnp.asarray(sd[f"{prefix}.layernorm.weight"], dtype),
+               "b": jnp.asarray(sd[f"{prefix}.layernorm.bias"], dtype)},
+        "mlp": {"fc0": _lin(sd, f"{prefix}.mlp.fc1", dtype),
+                "fc1": _lin(sd, f"{prefix}.mlp.fc2", dtype)},
+    }
+
+
+def load_siglip2_checkpoint(path: str, dtype=jnp.float32,
+                            vision_heads: Optional[int] = None,
+                            text_heads: Optional[int] = None):
+    """Full HF SigLIP/SigLIP2 dual tower -> scorer parts. Sizes are
+    inferred from tensor shapes; head counts come from config.json (the
+    HF checkpoint layout) or the explicit arguments."""
+    import json as _json
+
+    from ..models.bagel.siglip import SiglipConfig
+    from ..reflection.scorer import SiglipTextConfig
+
+    sd = load_state_dict(path)
+    cfg_dir = path if os.path.isdir(path) else os.path.dirname(path)
+    cfg_json = os.path.join(cfg_dir, "config.json")
+    if os.path.exists(cfg_json):
+        with open(cfg_json) as f:
+            hf = _json.load(f)
+        vision_heads = vision_heads or hf.get("vision_config", {}).get(
+            "num_attention_heads")
+        text_heads = text_heads or hf.get("text_config", {}).get(
+            "num_attention_heads")
+
+    def count_layers(prefix):
+        n = 0
+        while f"{prefix}.encoder.layers.{n}.layer_norm1.weight" in sd:
+            n += 1
+        return n
+
+    v_hidden = sd["vision_model.embeddings.patch_embedding.bias"].shape[0]
+    pe = sd["vision_model.embeddings.patch_embedding.weight"]
+    patch = pe.shape[-1] if pe.ndim == 4 else int(
+        np.sqrt(pe.shape[1] // 3))
+    n_pos = sd["vision_model.embeddings.position_embedding.weight"].shape[0]
+    image_size = int(np.sqrt(n_pos)) * patch
+    v_heads = vision_heads or (16 if v_hidden % 16 == 0 else 12)
+    vision_cfg = SiglipConfig(
+        hidden_size=v_hidden,
+        intermediate_size=sd[
+            "vision_model.encoder.layers.0.mlp.fc1.bias"].shape[0],
+        num_layers=count_layers("vision_model"), num_heads=v_heads,
+        patch_size=patch, image_size=image_size)
+
+    t_hidden = sd["text_model.embeddings.token_embedding.weight"].shape[1]
+    text_cfg = SiglipTextConfig(
+        vocab_size=sd[
+            "text_model.embeddings.token_embedding.weight"].shape[0],
+        hidden_size=t_hidden,
+        intermediate_size=sd[
+            "text_model.encoder.layers.0.mlp.fc1.bias"].shape[0],
+        num_layers=count_layers("text_model"),
+        num_heads=text_heads or (16 if t_hidden % 16 == 0 else 12),
+        max_len=sd[
+            "text_model.embeddings.position_embedding.weight"].shape[0],
+        proj_dim=sd["text_model.head.bias"].shape[0], pooling="hf_last")
+
+    return {
+        "vision": convert_siglip(sd, vision_cfg, dtype,
+                                 prefix="vision_model"),
+        "vision_cfg": vision_cfg,
+        "map_head": convert_siglip_map_head(sd, dtype),
+        "text": convert_siglip2_text(sd, text_cfg, dtype),
+        "text_cfg": text_cfg,
+        "logit_scale": float(sd.get("logit_scale", np.zeros(1))[()]
+                             if "logit_scale" in sd else 0.0),
+    }
+
+
 def convert_siglip(sd, cfg, dtype=jnp.bfloat16,
                    prefix: str = "vision_model"):
     """SiglipVisionTransformer (navit) -> params. The patch embedding may

@@ -234,11 +234,13 @@ def generate_text(params, cfg: BagelConfig, ctx, max_length: int,
 # ---------------------------------------------------------------------------
 
 
-def _flow_velocity(params, cfg: BagelConfig, x_t, t_scalar, text_rows,
-                   vae_rows, pos_table_rows, start_end_ids, rope_pos,
-                   cache, compute_dtype):
-    """One LM pass in gen mode -> velocity on the vae rows
-    (_forward_flow:796-833)."""
+def _flow_hidden(params, cfg: BagelConfig, x_t, t_scalar, text_rows,
+                 pos_table_rows, start_end_ids, rope_pos, cache,
+                 compute_dtype):
+    """One LM pass in gen mode -> last-layer hidden (pre final-norm)
+    [n_tok+2, hidden] (_forward_flow:796-833). Split from the norm +
+    llm2vae tail so TaylorSeer can cache/extrapolate exactly the feature
+    the reference hooks (qwen2_navit.py:825-830)."""
     l = x_t.shape[0] + 2
     emb = params["llm"]["embed_tokens"]
     t_emb = nn.linear(
@@ -261,10 +263,36 @@ def _flow_velocity(params, cfg: BagelConfig, x_t, t_scalar, text_rows,
     h, _ = qwen2_mot_forward(
         params["llm"], cfg.llm, seq, pos, cache, mode="gen",
         und_rows=text_rows, is_causal=False, compute_dtype=compute_dtype,
-        final_norm=True)
+        final_norm=False)
+    return h
+
+
+def _flow_post(params, cfg: BagelConfig, h, text_rows, compute_dtype):
+    """Final dual norm + llm2vae + vae-row slice (the tail of
+    qwen2_mot_forward(final_norm=True) and _forward_flow)."""
+    from .qwen2_mot import _expert_norm
+
+    llm = params["llm"]
+    h = h.astype(compute_dtype)
+    if cfg.llm.moe:
+        h = _expert_norm(llm["norm"], llm["norm_gen"], h, text_rows,
+                         cfg.llm.rms_norm_eps)
+    else:
+        h = nn.rms_norm(h, llm["norm"].astype(h.dtype),
+                        eps=cfg.llm.rms_norm_eps)
     v = nn.linear(params["llm2vae"], h.astype(jnp.float32),
                   compute_dtype=jnp.float32)
     return v[1:-1]
+
+
+def _flow_velocity(params, cfg: BagelConfig, x_t, t_scalar, text_rows,
+                   vae_rows, pos_table_rows, start_end_ids, rope_pos,
+                   cache, compute_dtype):
+    """One LM pass in gen mode -> velocity on the vae rows."""
+    h = _flow_hidden(params, cfg, x_t, t_scalar, text_rows,
+                     pos_table_rows, start_end_ids, rope_pos, cache,
+                     compute_dtype)
+    return _flow_post(params, cfg, h, text_rows, compute_dtype)
 
 
 def generate_image_latent(
@@ -284,6 +312,8 @@ def generate_image_latent(
     cfg_renorm_type: str = "global",
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.bfloat16,
+    enable_taylorseer: bool = False,
+    taylorseer_cfg=None,
 ):
     """Returns the denoised patched latent [num_tokens, patch_latent_dim]
     plus the (h, w) latent grid (generate_image:643-754)."""
@@ -310,21 +340,56 @@ def generate_image_latent(
                        for t in ts[:-1]], np.float32)
     gate_dev = jnp.asarray(gate)
 
-    def vel(x_t, t, ctx_i):
-        return _flow_velocity(params, cfg, x_t, t, text_rows, None,
-                              pos_rows, se_ids, ctx_i["rope"],
-                              ctx_i["cache"], compute_dtype)
+    # TaylorSeer: precomputed host schedule + fixed-slot factor stacks
+    # carried through the scan, one per CFG branch (bagel.py:680-689)
+    if enable_taylorseer:
+        from ...ops.taylorseer import (TaylorSeerConfig, init_taylor_cache,
+                                       taylor_predict, taylor_update,
+                                       taylorseer_schedule)
+        ts_cfg = taylorseer_cfg or TaylorSeerConfig()
+        sched = {k: jnp.asarray(v) for k, v in
+                 taylorseer_schedule(num_timesteps - 1, ts_cfg).items()}
+        feat_shape = (n_tok + 2, cfg.llm.hidden_size)
+        caches0 = tuple(init_taylor_cache(feat_shape, ts_cfg.max_order)
+                        for _ in range(3))
+    else:
+        sched = None
+        caches0 = (jnp.zeros(()),) * 3
 
-    def step(x_t, xs):
-        t, dt, g = xs
-        v = vel(x_t, t, ctx)
+    def hidden(x_t, t, ctx_i):
+        return _flow_hidden(params, cfg, x_t, t, text_rows, pos_rows,
+                            se_ids, ctx_i["rope"], ctx_i["cache"],
+                            compute_dtype)
+
+    def vel(x_t, t, ctx_i, cache, ts_xs):
+        """LM velocity, via TaylorSeer cache when enabled."""
+        if not enable_taylorseer:
+            h = hidden(x_t, t, ctx_i)
+            return _flow_post(params, cfg, h, text_rows, compute_dtype), \
+                cache
+
+        def full(c):
+            h = hidden(x_t, t, ctx_i)
+            return h.astype(jnp.float32), \
+                taylor_update(c, h, ts_xs["dd"], ts_xs["n_upd"])
+
+        def taylor(c):
+            return taylor_predict(c, ts_xs["x"], ts_xs["n_stored"]), c
+
+        h, cache = jax.lax.cond(ts_xs["is_full"] > 0, full, taylor, cache)
+        return _flow_post(params, cfg, h, text_rows, compute_dtype), cache
+
+    def step(carry, xs):
+        x_t, c0, c1, c2 = carry
+        (t, dt, g), ts_xs = xs
+        v, c0 = vel(x_t, t, ctx, c0, ts_xs)
         text_scale = 1.0 + g * (cfg_text_scale - 1.0)
         img_scale = 1.0 + g * (cfg_img_scale - 1.0)
         if cfg_text_ctx is not None and cfg_text_scale > 1.0:
-            v_text = vel(x_t, t, cfg_text_ctx)
+            v_text, c1 = vel(x_t, t, cfg_text_ctx, c1, ts_xs)
             v_ = v_text + text_scale * (v - v_text)
             if cfg_img_ctx is not None and cfg_img_scale > 1.0:
-                v_img = vel(x_t, t, cfg_img_ctx)
+                v_img, c2 = vel(x_t, t, cfg_img_ctx, c2, ts_xs)
                 v_ = v_img + img_scale * (v_ - v_img)
             # renorm towards the cond velocity norm (bagel.py:873-905)
             if cfg_renorm_type == "global":
@@ -336,9 +401,15 @@ def generate_image_latent(
             scale = jnp.clip(norm_v / (norm_g + 1e-8), cfg_renorm_min, 1.0)
             v = v_ * scale
         x_t = x_t - v * dt
-        return x_t, None
+        return (x_t, c0, c1, c2), None
 
-    x, _ = jax.lax.scan(step, x, (ts_dev, dts_dev, gate_dev))
+    ts_scan = sched if sched is not None else {
+        "is_full": jnp.ones_like(ts_dev), "dd": jnp.zeros_like(ts_dev),
+        "x": jnp.zeros_like(ts_dev),
+        "n_upd": jnp.zeros_like(ts_dev, jnp.int32),
+        "n_stored": jnp.zeros_like(ts_dev, jnp.int32)}
+    (x, _, _, _), _ = jax.lax.scan(
+        step, (x,) + caches0, ((ts_dev, dts_dev, gate_dev), ts_scan))
     return x, (hh, ww)
 
 

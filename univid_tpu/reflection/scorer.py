@@ -37,6 +37,10 @@ class SiglipTextConfig:
     num_heads: int = 12
     max_len: int = 64
     proj_dim: int = 1024
+    # "mean": mean-pool + proj (random-init mode); "hf_last": HF SigLIP
+    # semantics — last (padded) token + head linear
+    # (modeling_siglip SiglipTextTransformer.forward)
+    pooling: str = "mean"
 
 
 def init_siglip_text(key, cfg: SiglipTextConfig, param_dtype=jnp.float32):
@@ -106,9 +110,41 @@ def siglip_text_forward(params, cfg: SiglipTextConfig, ids: jnp.ndarray,
                         params["layers"])
     x = nn.layer_norm(x, weight=params["final_ln"]["w"].astype(x.dtype),
                       bias=params["final_ln"]["b"].astype(x.dtype))
-    pooled = x.mean(axis=1)
+    if cfg.pooling == "hf_last":
+        pooled = x[:, -1]  # last padded token (modeling_siglip semantics)
+    else:
+        pooled = x.mean(axis=1)
     t = nn.linear(params["proj"], pooled, compute_dtype=compute_dtype)
     return t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+
+
+def map_head_forward(params, feats: jnp.ndarray, num_heads: int,
+                     compute_dtype=jnp.float32) -> jnp.ndarray:
+    """HF SiglipMultiheadAttentionPoolingHead: learned probe cross-attends
+    the patch features, layernorm + MLP residual, take the probe slot.
+    feats [N, d] (one image) -> pooled [d]."""
+    d = feats.shape[-1]
+    hd = d // num_heads
+    f = feats.astype(compute_dtype)[None]                    # [1, N, d]
+    probe = params["probe"].astype(compute_dtype).reshape(1, 1, d)
+
+    q = nn.linear(params["q"], probe, compute_dtype=compute_dtype)
+    k = nn.linear(params["k"], f, compute_dtype=compute_dtype)
+    v = nn.linear(params["v"], f, compute_dtype=compute_dtype)
+    n = feats.shape[0]
+    q = q.reshape(1, 1, num_heads, hd)
+    k = k.reshape(1, n, num_heads, hd)
+    v = v.reshape(1, n, num_heads, hd)
+    from ..kernels.attention import attention
+    o = attention(q, k, v).reshape(1, 1, d)
+    h = nn.linear(params["o"], o, compute_dtype=compute_dtype)
+
+    y = nn.layer_norm(h, weight=params["ln"]["w"].astype(compute_dtype),
+                      bias=params["ln"]["b"].astype(compute_dtype))
+    y = nn.linear(params["mlp"]["fc0"], y, compute_dtype=compute_dtype)
+    y = nn.gelu_tanh(y)
+    y = nn.linear(params["mlp"]["fc1"], y, compute_dtype=compute_dtype)
+    return (h + y)[0, 0]
 
 
 class Siglip2Scorer:
@@ -118,7 +154,7 @@ class Siglip2Scorer:
                  = None, text_params=None,
                  text_cfg: Optional[SiglipTextConfig] = None,
                  tokenizer=None, image_size: int = 224, mesh=None,
-                 seed: int = 0):
+                 seed: int = 0, map_head=None):
         self.vision_cfg = vision_cfg or SiglipConfig(
             hidden_size=768, intermediate_size=3072, num_layers=12,
             num_heads=12, patch_size=16, image_size=image_size)
@@ -127,8 +163,11 @@ class Siglip2Scorer:
         k1, k2, k3 = jax.random.split(key, 3)
         self.vision_params = vision_params if vision_params is not None \
             else init_siglip(k1, self.vision_cfg)
-        # image projection head to the shared space
-        self.img_proj = nn.linear_init(
+        # pretrained path: MAP attention-pool head, no extra projection
+        # (HF get_image_features); random-init path: mean-pool + learned
+        # projection into the text proj space
+        self.map_head = map_head
+        self.img_proj = None if map_head is not None else nn.linear_init(
             k3, self.vision_cfg.hidden_size, self.text_cfg.proj_dim,
             bias=False, init="normal")
         self.text_params = text_params if text_params is not None \
@@ -137,6 +176,24 @@ class Siglip2Scorer:
         self.image_size = image_size
         self.mesh = mesh
         self._emb_imgs_jit = None
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_checkpoint(cls, path: str, tokenizer=None, mesh=None,
+                        dtype=jnp.float32) -> "Siglip2Scorer":
+        """Pretrained HF SigLIP/SigLIP2 dual tower (the reference loads
+        AutoModel, eval_understanding.py:171-206)."""
+        from ..core.checkpoint import load_siglip2_checkpoint
+        parts = load_siglip2_checkpoint(path, dtype=dtype)
+        if tokenizer is None:
+            from ..utils.tokenizers import load_tokenizer
+            tokenizer = load_tokenizer(path,
+                                       seq_len=parts["text_cfg"].max_len)
+        return cls(vision_params=parts["vision"],
+                   vision_cfg=parts["vision_cfg"],
+                   text_params=parts["text"], text_cfg=parts["text_cfg"],
+                   tokenizer=tokenizer, map_head=parts["map_head"],
+                   image_size=parts["vision_cfg"].image_size, mesh=mesh)
 
     # ------------------------------------------------------------------
     def _encode_image_batch(self, vision_params, img_proj, images):
@@ -150,11 +207,16 @@ class Siglip2Scorer:
             patches = image_to_patches(img, cfg.patch_size)
             feats = siglip_forward(vision_params, cfg, patches, pos,
                                    compute_dtype=jnp.float32)
+            if self.map_head is not None:
+                return map_head_forward(self.map_head, feats,
+                                        cfg.num_heads)
             return feats.mean(axis=0)
 
         pooled = jax.vmap(one)(images)
-        v = nn.linear(img_proj, pooled, compute_dtype=jnp.float32)
-        return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+        if img_proj is not None:
+            pooled = nn.linear(img_proj, pooled,
+                               compute_dtype=jnp.float32)
+        return pooled / jnp.linalg.norm(pooled, axis=-1, keepdims=True)
 
     def emb_imgs(self, frames: List[np.ndarray], bs: int = 64
                  ) -> np.ndarray:

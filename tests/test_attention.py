@@ -105,3 +105,20 @@ def test_pallas_kernel_interpret_matches_reference(mode):
                                  interpret=True, **kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_kernel_dynamic_q_offsets():
+    """Causal with per-batch dynamic offset (BAGEL cached prefill) in
+    interpret mode vs the XLA reference."""
+    b, lq, lk, n, d = 2, 128, 256, 2, 32
+    q = jnp.asarray(_rand((b, lq, n, d), 0))
+    k = jnp.asarray(_rand((b, lk, n, d), 1))
+    v = jnp.asarray(_rand((b, lk, n, d), 2))
+    offs = jnp.asarray([37, 101], jnp.int32)
+    kvl = jnp.asarray([37 + 128, 101 + 128], jnp.int32)
+    ref = mha_reference(q, k, v, causal=True, q_offsets=offs, kv_len=kvl)
+    got = flash_attention_padded(q, k, v, causal=True, q_offsets=offs,
+                                 kv_len=kvl, block_q=128, block_k=128,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

@@ -135,3 +135,50 @@ def test_image_vae_roundtrip():
     y = image_vae_decode(params, cfg, z)
     assert y.shape == (1, 16, 16, 3)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_bucketed_image_context_matches_exact(bagel):
+    """Bucketed ViT append (padded patches + n_valid) leaves the cache in
+    the same state as the exact-shape path."""
+    from univid_tpu.pipelines.interleave import InterleaveInferencer
+    from univid_tpu.utils.tokenizers import HashTokenizer
+
+    scfg = SiglipConfig(hidden_size=16, intermediate_size=32, num_layers=1,
+                        num_heads=2, patch_size=2, image_size=16)
+    sig = init_siglip(jax.random.PRNGKey(1), scfg)
+    inf = InterleaveInferencer(bagel, TINY, HashTokenizer(vocab_size=180),
+                               siglip_params=sig, siglip_cfg=scfg,
+                               capacity=128, compute_dtype=jnp.float32)
+    img = jax.random.normal(jax.random.PRNGKey(2), (6, 8, 3))  # 3x4=12 tok
+
+    ctx_exact = inf.update_context_image(img, inf.init_gen_context(),
+                                         bucketed=False)
+    ctx_bkt = inf.update_context_image(img, inf.init_gen_context(),
+                                       bucketed=True)
+    n_rows = int(ctx_exact["cache"]["len"])
+    assert int(ctx_bkt["cache"]["len"]) == n_rows == 14  # soi+12+eoi
+    for leaf in ("k", "v"):
+        a = np.asarray(ctx_exact["cache"][leaf])[:, :n_rows]
+        b = np.asarray(ctx_bkt["cache"][leaf])[:, :n_rows]
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
+
+
+def test_caption_frames_batched_matches_sequential(bagel):
+    """vmapped caption_frames == per-frame sequential captioning."""
+    from univid_tpu.pipelines.interleave import InterleaveInferencer
+    from univid_tpu.utils.tokenizers import HashTokenizer
+
+    scfg = SiglipConfig(hidden_size=16, intermediate_size=32, num_layers=1,
+                        num_heads=2, patch_size=2, image_size=16)
+    sig = init_siglip(jax.random.PRNGKey(1), scfg)
+    inf = InterleaveInferencer(bagel, TINY, HashTokenizer(vocab_size=180),
+                               siglip_params=sig, siglip_cfg=scfg,
+                               capacity=256, compute_dtype=jnp.float32)
+    frames = [jax.random.normal(jax.random.PRNGKey(i), (6, 8, 3))
+              for i in range(3)]
+    prompt = "describe the frame"
+
+    batched = inf.caption_frames(frames, prompt, max_length=8)
+    sequential = [inf(image=f, text=prompt, understanding_output=True,
+                      max_think_token_n=8)["text"] for f in frames]
+    assert batched == sequential

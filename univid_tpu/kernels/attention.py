@@ -42,12 +42,37 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def pack_mask_codes(doc_id, fn_id, noise_id):
+    """Pack the three BAGEL packed-training mask id arrays into one int32
+    per token for the attention kernels: doc in bits 16+, full/noise
+    split id (+1, 0=none) in bits 8-15, noise split id (+1) in bits 0-7.
+    Reference predicate: data/data_utils.py create_sparse_mask:13-41."""
+    doc = jnp.asarray(doc_id, jnp.int32)
+    fn = jnp.asarray(fn_id, jnp.int32) + 1      # -1 (none) -> 0
+    nz = jnp.asarray(noise_id, jnp.int32) + 1
+    return (doc << 16) | (fn << 8) | nz
+
+
+def _packed_mask_allowed(qc, kc, row, col):
+    """(and(or(causal, same full/noise split), remove_noise, same doc))."""
+    doc_q, doc_k = qc >> 16, kc >> 16
+    fn_q, fn_k = (qc >> 8) & 0xFF, (kc >> 8) & 0xFF
+    nz_q, nz_k = qc & 0xFF, kc & 0xFF
+    causal = row >= col
+    full_noise = (fn_q == fn_k) & (fn_q > 0)
+    remove_noise = ~((nz_k > 0) & (nz_q != nz_k))
+    return (causal | full_noise) & remove_noise & (doc_q == doc_k)
+
+
 def mha_reference(q, k, v, *, causal=False, q_offset=0, kv_len=None,
-                  q_segments=None, kv_segments=None, softmax_scale=None):
+                  q_segments=None, kv_segments=None, softmax_scale=None,
+                  packed_mode=False, q_offsets=None):
     """Masked XLA attention with identical semantics to the Pallas kernel.
 
     fp32 softmax; differentiable (used by training paths until the custom
-    VJP Pallas kernel lands).
+    VJP Pallas kernel lands). packed_mode treats q/kv_segments as
+    pack_mask_codes outputs and applies the BAGEL mixed
+    causal/full/noise mask.
     """
     b, lq, n, d = q.shape
     lk = k.shape[1]
@@ -57,12 +82,20 @@ def mha_reference(q, k, v, *, causal=False, q_offset=0, kv_len=None,
                    preferred_element_type=jnp.float32) * softmax_scale
     mask = jnp.ones((b, 1, lq, lk), dtype=bool)
     if causal:
-        row = jnp.arange(lq)[:, None] + q_offset
-        col = jnp.arange(lk)[None, :]
-        mask &= (col <= row)[None, None]
+        row = jnp.arange(lq)[None, :, None] + q_offset
+        if q_offsets is not None:
+            row = row + q_offsets[:, None, None]
+        col = jnp.arange(lk)[None, None, :]
+        mask &= (col <= row)[:, None, :, :]
     if kv_len is not None:
         mask &= (jnp.arange(lk)[None, :] < kv_len[:, None])[:, None, None, :]
-    if q_segments is not None:
+    if q_segments is not None and packed_mode:
+        row = jnp.arange(lq)[None, :, None] + q_offset
+        col = jnp.arange(lk)[None, None, :]
+        mask &= _packed_mask_allowed(
+            q_segments[:, :, None], kv_segments[:, None, :], row,
+            col)[:, None, :, :]
+    elif q_segments is not None:
         mask &= (q_segments[:, :, None] ==
                  kv_segments[:, None, :])[:, None, :, :]
     s = jnp.where(mask, s, -1e30)
@@ -77,7 +110,8 @@ def mha_reference(q, k, v, *, causal=False, q_offset=0, kv_len=None,
 
 def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
               q_segments=None, kv_segments=None, softmax_scale=None,
-              block_q=None, block_k=None):
+              block_q=None, block_k=None, packed_mode=False,
+              q_offsets=None):
     """Multi-head attention over [B, L, N, D] tensors.
 
     Default block sizes auto-tune by sequence length: the v5e sweep
@@ -89,7 +123,8 @@ def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
         return mha_reference(
             q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len,
             q_segments=q_segments, kv_segments=kv_segments,
-            softmax_scale=softmax_scale)
+            softmax_scale=softmax_scale, packed_mode=packed_mode,
+            q_offsets=q_offsets)
 
     b, lq, n, d = q.shape
     lk = k.shape[1]
@@ -127,5 +162,6 @@ def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
     o = flash_attention_padded(
         q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len,
         q_segments=q_segments, kv_segments=kv_segments,
-        softmax_scale=softmax_scale, block_q=block_q, block_k=block_k)
+        softmax_scale=softmax_scale, block_q=block_q, block_k=block_k,
+        packed_mode=packed_mode, q_offsets=q_offsets)
     return o[:, :lq]

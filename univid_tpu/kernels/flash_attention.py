@@ -31,20 +31,24 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(
-    # refs (kv_len optional scalar-prefetch comes first when present)
+    # refs (the optional [2, B] scalar-prefetch — kv_len row 0, dynamic
+    # q_offset row 1 — comes first when present)
     *refs,
     num_heads: int,
     block_q: int,
     block_k: int,
     causal: bool,
     q_offset: int,
+    has_scalars: bool,
     has_kv_len: bool,
+    has_q_offsets: bool,
     has_segments: bool,
+    packed_mode: bool,
 ):
     idx = 0
-    kv_len_ref = None
-    if has_kv_len:
-        kv_len_ref = refs[idx]
+    scalar_ref = None
+    if has_scalars:
+        scalar_ref = refs[idx]
         idx += 1
     q_ref, k_ref, v_ref = refs[idx:idx + 3]
     idx += 3
@@ -58,6 +62,7 @@ def _flash_kernel(
     i_q = pl.program_id(1)
     i_k = pl.program_id(2)
     nk = pl.num_programs(2)
+    b = pl.program_id(0) // num_heads
 
     @pl.when(i_k == 0)
     def _init():
@@ -65,9 +70,10 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    # causal: skip fully-masked kv blocks
+    # causal: skip fully-masked kv blocks (static offset only — with a
+    # dynamic per-batch offset every block may be live)
     run = True
-    if causal:
+    if causal and not has_q_offsets:
         first_masked_col = i_q * block_q + q_offset + block_q
         run = i_k * block_k < first_masked_col
 
@@ -86,17 +92,31 @@ def _flash_kernel(
         if causal:
             row = i_q * block_q + q_offset + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
+            if has_q_offsets:
+                row = row + scalar_ref[1, b]
             s = jnp.where(col <= row, s, NEG_INF)
         if has_kv_len:
-            b = pl.program_id(0) // num_heads
-            s = jnp.where(col < kv_len_ref[b], s, NEG_INF)
+            s = jnp.where(col < scalar_ref[0, b], s, NEG_INF)
         if has_segments:
             # qseg block [bq, 128] (lane-broadcast), kseg block [8, bk]
             # (sublane-broadcast) — TPU tiling-friendly layouts.
             qs = qseg_ref[0]  # [bq, 128]
             ks = kseg_ref[0]  # [8, bk]
             qs_full = jnp.tile(qs, (1, block_k // 128))  # [bq, bk]
-            s = jnp.where(qs_full == ks[:1, :], s, NEG_INF)
+            ks_row = ks[:1, :]
+            if packed_mode:
+                # BAGEL mixed causal/full/noise mask from pack_mask_codes
+                # (see attention.pack_mask_codes / create_sparse_mask)
+                row = i_q * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0)
+                doc_q, doc_k = qs_full >> 16, ks_row >> 16
+                fn_q, fn_k = (qs_full >> 8) & 0xFF, (ks_row >> 8) & 0xFF
+                nz_q, nz_k = qs_full & 0xFF, ks_row & 0xFF
+                allowed = ((row >= col) | ((fn_q == fn_k) & (fn_q > 0))) \
+                    & (~((nz_k > 0) & (nz_q != nz_k))) & (doc_q == doc_k)
+                s = jnp.where(allowed, s, NEG_INF)
+            else:
+                s = jnp.where(qs_full == ks_row, s, NEG_INF)
 
         # softmax runs in the exp2 domain: log2(e) is folded into the
         # q scale by the wrapper, so exp2 here == exp of raw scores and
@@ -137,6 +157,8 @@ def flash_attention_padded(
     block_q: int = 256,
     block_k: int = 512,
     interpret: bool = False,
+    packed_mode: bool = False,
+    q_offsets: Optional[jnp.ndarray] = None,    # [B] int32 dynamic causal
 ) -> jnp.ndarray:
     b, lq, n, d = q.shape
     lk = k.shape[1]
@@ -187,10 +209,14 @@ def flash_attention_padded(
         inputs += [qseg, kseg]
 
     has_kv_len = kv_len is not None
+    has_q_offsets = q_offsets is not None
+    has_scalars = has_kv_len or has_q_offsets
     kernel = functools.partial(
         _flash_kernel,
         num_heads=n, block_q=block_q, block_k=block_k, causal=causal,
-        q_offset=q_offset, has_kv_len=has_kv_len, has_segments=has_segments)
+        q_offset=q_offset, has_scalars=has_scalars, has_kv_len=has_kv_len,
+        has_q_offsets=has_q_offsets, has_segments=has_segments,
+        packed_mode=packed_mode)
 
     scratch_shapes = [
         pltpu.VMEM((block_q, 128), jnp.float32),  # running max
@@ -202,7 +228,12 @@ def flash_attention_padded(
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((b * n, lq, d), q.dtype)
 
-    if has_kv_len:
+    if has_scalars:
+        scalars = jnp.stack([
+            (kv_len if has_kv_len else jnp.full((b,), lk)).astype(
+                jnp.int32),
+            (q_offsets if has_q_offsets else jnp.zeros((b,))).astype(
+                jnp.int32)])
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -217,7 +248,7 @@ def flash_attention_padded(
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
-        )(kv_len.astype(jnp.int32), *inputs)
+        )(scalars, *inputs)
     else:
         out = pl.pallas_call(
             kernel,

@@ -148,22 +148,35 @@ def init_gen_context(cfg: BagelConfig, capacity: int = 4096,
 
 
 def update_context_text(params, cfg: BagelConfig, ctx, text_ids,
-                        compute_dtype=jnp.bfloat16):
+                        compute_dtype=jnp.bfloat16, n_valid=None):
     """Causal prefill of [bos] + text + [eos] ids (already wrapped by the
-    caller/tokenizer, prepare_prompts:245-246). text_ids: [L] int32."""
+    caller/tokenizer, prepare_prompts:245-246). text_ids: [L] int32.
+
+    n_valid (traced scalar) enables BUCKETED prefill: ids are padded to a
+    fixed length, only the first n_valid advance the cache/rope — so one
+    compiled program serves every prompt length in the bucket."""
     x = params["llm"]["embed_tokens"][text_ids].astype(compute_dtype)
     pos = ctx["rope"] + jnp.arange(text_ids.shape[0])
+    q_valid = None if n_valid is None else jnp.asarray(n_valid, jnp.int32)
     _, cache = qwen2_mot_forward(
         params["llm"], cfg.llm, x, pos, ctx["cache"], mode="und",
-        is_causal=True, compute_dtype=compute_dtype, final_norm=False)
-    return {"cache": cache, "rope": ctx["rope"] + text_ids.shape[0]}
+        q_valid=q_valid, is_causal=True, compute_dtype=compute_dtype,
+        final_norm=False)
+    advance = text_ids.shape[0] if n_valid is None else q_valid
+    return {"cache": cache, "rope": ctx["rope"] + advance}
 
 
 def update_context_vit(params, cfg: BagelConfig, ctx, vit_embeds,
-                       vit_pos_ids, compute_dtype=jnp.bfloat16):
+                       vit_pos_ids, compute_dtype=jnp.bfloat16,
+                       n_valid=None):
     """Append [start_of_image] + connector(vit_embeds)+pos + [end_of_image]
     non-causally (forward_cache_update_vit:361-419). vit_embeds: [N, vit_d]
-    from the SigLIP encoder."""
+    from the SigLIP encoder.
+
+    n_valid (traced scalar) enables BUCKETED appends: vit_embeds is padded
+    to a fixed bucket, the end-of-image token is scattered to row
+    n_valid+1, and only n_valid+2 rows advance the cache — one compiled
+    program per bucket instead of one per image shape."""
     emb = params["llm"]["embed_tokens"]
     tok = nn.linear(params["connector"]["fc0"],
                     vit_embeds.astype(compute_dtype),
@@ -175,11 +188,19 @@ def update_context_vit(params, cfg: BagelConfig, ctx, vit_embeds,
 
     start = emb[cfg.start_of_image][None].astype(compute_dtype)
     end = emb[cfg.end_of_image][None].astype(compute_dtype)
-    seq = jnp.concatenate([start, tok, end], axis=0)
+    if n_valid is None:
+        seq = jnp.concatenate([start, tok, end], axis=0)
+        q_valid = None
+    else:
+        n_valid = jnp.asarray(n_valid, jnp.int32)
+        seq = jnp.concatenate([start, tok, end], axis=0)
+        seq = seq.at[n_valid + 1].set(end[0])
+        q_valid = n_valid + 2
     pos = jnp.full((seq.shape[0],), ctx["rope"], jnp.int32)
     _, cache = qwen2_mot_forward(
         params["llm"], cfg.llm, seq, pos, ctx["cache"], mode="und",
-        is_causal=False, compute_dtype=compute_dtype, final_norm=False)
+        q_valid=q_valid, is_causal=False, compute_dtype=compute_dtype,
+        final_norm=False)
     return {"cache": cache, "rope": ctx["rope"] + 1}
 
 

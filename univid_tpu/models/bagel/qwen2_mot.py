@@ -319,26 +319,18 @@ def _cached_attention(q, k_cache, v_cache, kv_len, new_len, is_causal,
                       compute_dtype):
     """Attention of fresh queries (global positions kv_len..kv_len+L-1)
     over the full cache buffer, masked to new_len."""
-    l = q.shape[0]
     if is_causal:
-        # absolute causal: col <= kv_len + row. attention() q_offset is a
-        # static int, so use an explicit per-call dynamic offset via
-        # kv_len-masked segment trick: rows attend cols < kv_len + row + 1.
-        # Implemented with the kernel's kv_len mask per row is not
-        # supported; use XLA path with explicit mask for dynamic offsets.
-        from ...kernels.attention import mha_reference
-        row = jnp.arange(l)[:, None] + kv_len
-        col = jnp.arange(k_cache.shape[0])[None, :]
-        mask = col <= row
-        s = jnp.einsum("qnd,knd->nqk", q.astype(jnp.float32),
-                       k_cache.astype(jnp.float32))
-        s = s / np.sqrt(q.shape[-1])
-        s = jnp.where(mask[None], s, -1e30)
-        p = jax.nn.softmax(s, axis=-1)
-        o = jnp.einsum("nqk,knd->qnd", p.astype(compute_dtype),
-                       v_cache.astype(compute_dtype),
-                       preferred_element_type=jnp.float32)
-        return o.astype(compute_dtype)
+        # absolute causal: col <= kv_len + row, a per-call DYNAMIC offset
+        # — handled by the flash kernel's q_offsets scalar prefetch (the
+        # dense-XLA fallback round 1 used is gone; this is the Pallas
+        # causal-with-cache prefill path the kernel was designed for).
+        return attention(
+            q[None].astype(compute_dtype),
+            k_cache[None].astype(compute_dtype),
+            v_cache[None].astype(compute_dtype),
+            causal=True,
+            q_offsets=kv_len[None].astype(jnp.int32),
+            kv_len=new_len[None].astype(jnp.int32))[0]
     else:
         return attention(
             q[None].astype(compute_dtype),

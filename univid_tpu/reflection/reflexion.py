@@ -91,16 +91,24 @@ def reflexion_answer_one(
         sample_video_frames_uniform(video_path, cfg.pool_frames)
     n = len(pool)
 
-    # global caption from seed-frame notes
+    # global caption from seed-frame notes — batched (vmapped) when the
+    # inferencer supports it, else the sequential reference loop
     seed_idx = _sample_indices(n, cfg.caption_seed_frames)
-    frame_notes = []
-    for i in seed_idx:
-        out = bagel(image=_to_model_image(pool[i]),
-                    text=SINGLE_FRAME_PROMPT, understanding_output=True,
-                    max_think_token_n=cfg.max_think_token_n,
-                    do_sample=cfg.do_sample,
-                    text_temperature=cfg.temperature)
-        frame_notes.append(out.get("text", ""))
+    if hasattr(bagel, "caption_frames"):
+        frame_notes = bagel.caption_frames(
+            [_to_model_image(pool[i]) for i in seed_idx],
+            SINGLE_FRAME_PROMPT, max_length=cfg.max_think_token_n,
+            do_sample=cfg.do_sample, temperature=cfg.temperature)
+    else:
+        frame_notes = []
+        for i in seed_idx:
+            out = bagel(image=_to_model_image(pool[i]),
+                        text=SINGLE_FRAME_PROMPT,
+                        understanding_output=True,
+                        max_think_token_n=cfg.max_think_token_n,
+                        do_sample=cfg.do_sample,
+                        text_temperature=cfg.temperature)
+            frame_notes.append(out.get("text", ""))
     global_caption = qwen_client.summarize_frames(frame_notes)
 
     def select_topk(query_text: str, topk: int, exclude: set

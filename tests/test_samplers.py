@@ -199,3 +199,64 @@ def test_euler_and_add_noise():
     v = eps - x0
     out = euler_flow_step(xt, v, 0.25, 0.0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-6)
+
+
+def test_dpm_order3_exact_linear_flow():
+    """Order-3 DPM++ (fm_solvers.py:598-680) also lands exactly on x0 for
+    the exact linear flow field."""
+    steps = 8
+    sig, _ = flow_sigmas(steps, shift=3.0)
+    rng = np.random.default_rng(3)
+    x0 = rng.standard_normal((4, 4)).astype(np.float32)
+    eps = rng.standard_normal((4, 4)).astype(np.float32)
+    x = (1 - sig[0]) * x0 + sig[0] * eps
+
+    coeffs = precompute_dpm_solver(sig, solver_order=3)
+    arrs = coeffs.device_arrays()
+    state = dpm_init_state(jnp.asarray(x), order=3)
+    for i in range(steps):
+        c = {k: v[i] for k, v in arrs.items()}
+        v_field = (state["sample"] - x0) / max(float(sig[i]), 1e-12)
+        state = dpm_step(state, c, v_field)
+    np.testing.assert_allclose(np.asarray(state["sample"]), x0, rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_dpm_order3_beats_order2_on_nonlinear_field():
+    """Convergence order: on a sigma-dependent x0-prediction the order-3
+    update is at least as accurate as order-2 at the same step count."""
+    steps = 10
+    sig, _ = flow_sigmas(steps, shift=3.0)
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal((4, 4)).astype(np.float64)
+
+    def m_of_sigma(s):  # the model's x0-prediction, varies with sigma
+        return base * (1.0 + 0.4 * np.sin(3.0 * s))
+
+    def v_field(x, s):
+        return (x - m_of_sigma(s)) / max(s, 1e-12)
+
+    eps = rng.standard_normal((4, 4)).astype(np.float64)
+    x_init = (1 - sig[0]) * m_of_sigma(sig[0]) + sig[0] * eps
+
+    # dense-Euler ground truth over the same sigma ladder
+    fine = np.linspace(sig[0], 0.0, 4097)
+    x_true = x_init.copy()
+    for a, b in zip(fine[:-1], fine[1:]):
+        x_true = x_true + v_field(x_true, a) * (b - a)
+
+    def run(order):
+        coeffs = precompute_dpm_solver(sig, solver_order=order)
+        arrs = coeffs.device_arrays()
+        state = dpm_init_state(jnp.asarray(x_init.astype(np.float32)),
+                               order=order)
+        for i in range(steps):
+            c = {k: v[i] for k, v in arrs.items()}
+            vf = v_field(np.asarray(state["sample"], np.float64),
+                         float(sig[i]))
+            state = dpm_step(state, c, jnp.asarray(vf.astype(np.float32)))
+        return np.asarray(state["sample"], np.float64)
+
+    err2 = np.abs(run(2) - x_true).max()
+    err3 = np.abs(run(3) - x_true).max()
+    assert err3 <= err2 * 1.05, (err2, err3)

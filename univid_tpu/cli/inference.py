@@ -49,7 +49,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prompt", type=str, default=None)
     p.add_argument("--shift", type=float, default=5.0)
     p.add_argument("--solver", type=str, default="unipc",
-                   choices=["unipc", "dpm++"])
+                   choices=["unipc", "dpm++", "dpm++3"])
     # TPU-specific
     p.add_argument("--model", type=str, default="ti2v-5B")
     p.add_argument("--checkpoint_dir", type=str, default=None,
@@ -69,6 +69,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "code path is identical to real checkpoints)")
     p.add_argument("--no_bagel", action="store_true",
                    help="Skip BAGEL fusion; pure UMT5 context path")
+    # prompt extension (reference inference.py prompt-extend hook +
+    # utils/prompt_extend.py)
+    p.add_argument("--use_prompt_extend", action="store_true")
+    p.add_argument("--prompt_extend_method", default="offline",
+                   choices=["dashscope", "local_qwen", "offline"])
+    p.add_argument("--prompt_extend_model", default=None)
+    p.add_argument("--prompt_extend_target_lang", default="en",
+                   choices=["zh", "en"])
     return p
 
 
@@ -192,6 +200,17 @@ def main(argv=None):
     pipe, spec, text_enc = build_pipeline(args)
     fusion = build_fusion(args, pipe, spec)
     prompt = args.prompt or DEFAULT_PROMPT
+    if args.use_prompt_extend:
+        from ..utils.prompt_extend import make_prompt_expander
+        expander = make_prompt_expander(
+            args.prompt_extend_method, task=args.model,
+            is_vl=args.mode != "t2v" and args.image is not None,
+            model_name=args.prompt_extend_model)
+        ext = expander(prompt, tar_lang=args.prompt_extend_target_lang,
+                       image=args.image if expander.is_vl else None,
+                       seed=args.seed)
+        if ext.status:
+            prompt = ext.prompt
     size = _parse_size(args.video_size)
     frames = args.video_length or spec.generation.frame_num
     tma = TMAConfig(
@@ -201,10 +220,14 @@ def main(argv=None):
         transition_ratio=args.transition_ratio,
         text_prefix_len=spec.dit.text_len)
 
+    from ..utils.profiling import PhaseTimer, trace
+    timer = PhaseTimer()
+
     # prompt -> UMT5 context (+ negative prompt for CFG), the reference
     # text_encoder([input_prompt]/[n_prompt]) step (textimage2video.py:
     # 255-262); the fusion path can still use these for mixing/uncond.
-    ctx_pair = text_enc([prompt, spec.sample_neg_prompt])
+    ctx_pair = timer.time_phase(
+        "text_encode", text_enc, [prompt, spec.sample_neg_prompt])
     ctx, nctx = ctx_pair[0], ctx_pair[1]
 
     img = None
@@ -224,15 +247,18 @@ def main(argv=None):
             sample_solver=args.solver, sampling_steps=args.steps,
             guide_scale=args.guidance, seed=args.seed)
         t0 = time.time()
-        if fusion is not None:
-            video = fusion.generate_video_with_bagel_context(
-                text=prompt, image=img if mode == "i2v" else None,
-                t5_context=ctx, t5_context_null=nctx,
-                null_context=args.null_context, tma=tma, **gen_kwargs)
-        else:
-            video = pipe.generate(
-                ctx, nctx, img=img if mode == "i2v" else None, tma=tma,
-                **gen_kwargs)
+        with trace("generate"):
+            if fusion is not None:
+                video = timer.time_phase(
+                    "generate", fusion.generate_video_with_bagel_context,
+                    text=prompt, image=img if mode == "i2v" else None,
+                    t5_context=ctx, t5_context_null=nctx,
+                    null_context=args.null_context, tma=tma, **gen_kwargs)
+            else:
+                video = timer.time_phase(
+                    "generate", pipe.generate,
+                    ctx, nctx, img=img if mode == "i2v" else None,
+                    tma=tma, **gen_kwargs)
         dt = time.time() - t0
 
         stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
@@ -244,6 +270,7 @@ def main(argv=None):
             "frames": frames, "steps": args.steps,
             "guidance": args.guidance, "seed": args.seed,
             "tma": dataclass_dict(tma), "generation_time_s": round(dt, 2),
+            "phase_times_s": timer.summary(),
             "context_path": ("bagel_fusion" if fusion is not None
                              else "umt5"),
             "video_path": path,

@@ -324,12 +324,36 @@ def precompute_dpm_solver(sigmas: np.ndarray, solver_order: int = 2,
         pred_a[i] = (s_t / s_s0) if s_s0 > 0 else 0.0
         if p == 1:
             pred_m[i, 0] = -a_t * phi
-        else:
+        elif p == 2:
             h0 = lam[i] - lam[i - 1]
             r0 = h0 / h
             # x = A x - a_t phi D0 - 0.5 a_t phi D1;  D1 = (m_i - m_{i-1})/r0
             pred_m[i, 0] = -a_t * phi * (1.0 + 0.5 / r0)
             pred_m[i, 1] = a_t * phi * 0.5 / r0
+        else:
+            # third order (fm_solvers.py:641-673):
+            #   x = A x - a_t phi1 D0 + a_t (phi1/h + 1) D1
+            #       - a_t ((phi1 + h)/h^2 - 1/2) D2
+            # with D1 = (1+g) D1_0 - g D1_1, g = r0/(r0+r1),
+            #      D2 = (D1_0 - D1_1)/(r0+r1),
+            #      D1_0 = (m0-m1)/r0, D1_1 = (m1-m2)/r1
+            # expanded to per-history coefficients on (m0, m1, m2).
+            h0 = lam[i] - lam[i - 1]
+            h1 = lam[i - 1] - lam[i - 2]
+            r0, r1 = h0 / h, h1 / h
+            g = r0 / (r0 + r1)
+            b0 = -a_t * phi
+            b1 = a_t * (phi / h + 1.0)
+            b2 = -a_t * ((phi + h) / h ** 2 - 0.5)
+            d1_m0 = (1.0 + g) / r0
+            d1_m1 = -((1.0 + g) / r0 + g / r1)
+            d1_m2 = g / r1
+            d2_m0 = 1.0 / ((r0 + r1) * r0)
+            d2_m1 = -(1.0 / ((r0 + r1) * r0) + 1.0 / ((r0 + r1) * r1))
+            d2_m2 = 1.0 / ((r0 + r1) * r1)
+            pred_m[i, 0] = b0 + b1 * d1_m0 + b2 * d2_m0
+            pred_m[i, 1] = b1 * d1_m1 + b2 * d2_m1
+            pred_m[i, 2] = b1 * d1_m2 + b2 * d2_m2
     if timesteps is None:
         timesteps = np.floor(sigmas[:-1] * 1000.0)
     zeros = np.zeros(num_steps)

@@ -79,11 +79,13 @@ class WanMoEPipeline:
                 num_train_timesteps=gen.num_train_timesteps)
             coeffs = precompute_unipc(sigmas, timesteps=timesteps)
             return coeffs, unipc_step
-        elif gen.sample_solver in ("dpm++", "dpm"):
+        elif gen.sample_solver in ("dpm++", "dpm", "dpm++3"):
+            order = 3 if gen.sample_solver == "dpm++3" else 2
             sig = get_sampling_sigmas(gen.sampling_steps, gen.shift)
             sigmas = np.concatenate([sig, [0.0]])
             timesteps = np.floor(sig * gen.num_train_timesteps)
-            coeffs = precompute_dpm_solver(sigmas, timesteps=timesteps)
+            coeffs = precompute_dpm_solver(sigmas, solver_order=order,
+                                           timesteps=timesteps)
             return coeffs, dpm_step
         raise NotImplementedError(gen.sample_solver)
 
@@ -133,7 +135,8 @@ class WanMoEPipeline:
         def run(low_params, high_params, noise, context, context_null, y):
             # noise [1, F, H, W, z]; y [1, F, H, W, 4+z] (i2v) else unused
             ctx_pair = jnp.concatenate([context, context_null], axis=0)
-            state = unipc_init_state(noise)
+            state = unipc_init_state(noise,
+                                     order=coeffs.pred_m.shape[1])
 
             def body(state, xs):
                 ctx = ctx_pair

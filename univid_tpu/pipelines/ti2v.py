@@ -83,11 +83,13 @@ class WanTI2VPipeline:
                 num_train_timesteps=gen.num_train_timesteps)
             coeffs = precompute_unipc(sigmas, timesteps=timesteps)
             return sigmas, coeffs, unipc_step
-        elif gen.sample_solver in ("dpm++", "dpm"):
+        elif gen.sample_solver in ("dpm++", "dpm", "dpm++3"):
+            order = 3 if gen.sample_solver == "dpm++3" else 2
             sig = get_sampling_sigmas(gen.sampling_steps, gen.shift)
             sigmas = np.concatenate([sig, [0.0]])
             timesteps = np.floor(sig * gen.num_train_timesteps)
-            coeffs = precompute_dpm_solver(sigmas, timesteps=timesteps)
+            coeffs = precompute_dpm_solver(sigmas, solver_order=order,
+                                           timesteps=timesteps)
             return sigmas, coeffs, dpm_step
         raise NotImplementedError(gen.sample_solver)
 
@@ -137,7 +139,8 @@ class WanTI2VPipeline:
                 clamp = lambda x: x
                 latents = noise
 
-            state = unipc_init_state(latents)
+            state = unipc_init_state(latents,
+                                     order=coeffs.pred_m.shape[1])
 
             def body(state, xs):
                 ctx = ctx_pair

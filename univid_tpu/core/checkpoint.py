@@ -150,6 +150,146 @@ def convert_wan_dit(sd: Dict[str, np.ndarray], cfg: WanDiTConfig,
     return params
 
 
+def convert_wan_animate(sd: Dict[str, np.ndarray], cfg,
+                        dtype=jnp.bfloat16):
+    """WanAnimateModel state dict (model_animate.py:246-340 naming +
+    motion_encoder/face_encoder/face_adapter submodules) -> params for
+    models/wan/animate/model.py."""
+    pt, ph, pw = cfg.patch_size
+
+    def conv3d_as_dense(key, out_dim):
+        w = sd[f"{key}.weight"]
+        w = np.transpose(w, (2, 3, 4, 1, 0)).reshape(-1, out_dim)
+        return {"w": jnp.asarray(w, dtype),
+                "b": jnp.asarray(sd[f"{key}.bias"], dtype)}
+
+    params = {
+        "patch_embed": conv3d_as_dense("patch_embedding", cfg.dim),
+        "pose_patch_embed": conv3d_as_dense("pose_patch_embedding",
+                                            cfg.dim),
+        "text_embedding": {
+            "fc0": _lin(sd, "text_embedding.0", dtype),
+            "fc1": _lin(sd, "text_embedding.2", dtype)},
+        "time_embedding": {
+            "fc0": _lin(sd, "time_embedding.0", jnp.float32),
+            "fc1": _lin(sd, "time_embedding.2", jnp.float32)},
+        "time_projection": {
+            "fc0": _lin(sd, "time_projection.1", jnp.float32)},
+        "head": {
+            "head": _lin(sd, "head.head", jnp.float32),
+            "modulation": jnp.asarray(
+                sd["head.modulation"].reshape(2, cfg.dim), jnp.float32)},
+    }
+    if cfg.use_img_emb:
+        params["img_emb"] = {
+            "ln0": {"w": jnp.asarray(sd["img_emb.proj.0.weight"], dtype),
+                    "b": jnp.asarray(sd["img_emb.proj.0.bias"], dtype)},
+            "fc0": _lin(sd, "img_emb.proj.1", dtype),
+            "fc1": _lin(sd, "img_emb.proj.3", dtype),
+            "ln1": {"w": jnp.asarray(sd["img_emb.proj.4.weight"], dtype),
+                    "b": jnp.asarray(sd["img_emb.proj.4.bias"], dtype)},
+        }
+
+    def attn(prefix, img_kv=False):
+        p = {k: _lin(sd, f"{prefix}.{k}", dtype) for k in "qkvo"}
+        if cfg.qk_norm:
+            p["norm_q"] = jnp.asarray(sd[f"{prefix}.norm_q.weight"], dtype)
+            p["norm_k"] = jnp.asarray(sd[f"{prefix}.norm_k.weight"], dtype)
+        if img_kv:
+            p["k_img"] = _lin(sd, f"{prefix}.k_img", dtype)
+            p["v_img"] = _lin(sd, f"{prefix}.v_img", dtype)
+            if cfg.qk_norm:
+                p["norm_k_img"] = jnp.asarray(
+                    sd[f"{prefix}.norm_k_img.weight"], dtype)
+        return p
+
+    blocks = []
+    for i in range(cfg.num_layers):
+        b = f"blocks.{i}"
+        block = {
+            "self_attn": attn(f"{b}.self_attn"),
+            "cross_attn": attn(f"{b}.cross_attn", img_kv=cfg.use_img_emb),
+            "ffn": {"fc0": _lin(sd, f"{b}.ffn.0", dtype),
+                    "fc1": _lin(sd, f"{b}.ffn.2", dtype)},
+            "modulation": jnp.asarray(
+                sd[f"{b}.modulation"].reshape(6, cfg.dim), jnp.float32),
+        }
+        if cfg.cross_attn_norm:
+            block["norm3"] = {
+                "w": jnp.asarray(sd[f"{b}.norm3.weight"], dtype),
+                "b": jnp.asarray(sd[f"{b}.norm3.bias"], dtype)}
+        blocks.append(block)
+    params["blocks"] = _stack(blocks)
+
+    # --- motion encoder (LIA Generator: enc.net_app.convs.* / enc.fc.* /
+    # dec.direction.weight). ConvLayer is an nn.Sequential: conv weight at
+    # .0 (or .1 after Blur when downsampling), FusedLeakyReLU bias last.
+    def eq_conv(prefix, act=True):
+        w = sd[f"{prefix}.weight"]                       # [O, I, kh, kw]
+        p = {"w": jnp.asarray(np.transpose(w, (2, 3, 1, 0)), jnp.float32)}
+        if f"{prefix}.bias" in sd:
+            p["b"] = jnp.asarray(sd[f"{prefix}.bias"], jnp.float32)
+        return p
+
+    me = "motion_encoder.enc.net_app.convs"
+    first = eq_conv(f"{me}.0.0")
+    first["act_b"] = jnp.asarray(sd[f"{me}.0.1.bias"], jnp.float32)
+    n_res = len({k.split(".")[4] for k in sd
+                 if k.startswith(me)}) - 2  # minus first + final convs
+    res_blocks = []
+    for i in range(1, 1 + n_res):
+        blk = {}
+        c1 = eq_conv(f"{me}.{i}.conv1.0")
+        c1["act_b"] = jnp.asarray(sd[f"{me}.{i}.conv1.1.bias"],
+                                  jnp.float32)
+        c2 = eq_conv(f"{me}.{i}.conv2.1")   # Blur at .0, conv at .1
+        c2["act_b"] = jnp.asarray(sd[f"{me}.{i}.conv2.2.bias"],
+                                  jnp.float32)
+        blk["conv1"], blk["conv2"] = c1, c2
+        blk["skip"] = eq_conv(f"{me}.{i}.skip.1")
+        res_blocks.append(blk)
+    final = eq_conv(f"{me}.{1 + n_res}")
+    fc = []
+    for i in range(5):
+        fc.append({"w": jnp.asarray(sd[
+            f"motion_encoder.enc.fc.{i}.weight"].T, jnp.float32),
+            "b": jnp.asarray(sd[f"motion_encoder.enc.fc.{i}.bias"],
+                             jnp.float32)})
+    params["motion_encoder"] = {
+        "first": first, "blocks": res_blocks, "final": final, "fc": fc,
+        "direction": jnp.asarray(
+            sd["motion_encoder.dec.direction.weight"], jnp.float32)}
+
+    # --- face encoder (face_blocks.py FaceEncoder naming) ---------------
+    def cc1d(prefix):
+        w = sd[f"{prefix}.conv.weight"]                  # [O, I, k]
+        return {"w": jnp.asarray(np.transpose(w, (2, 1, 0)), jnp.float32),
+                "b": jnp.asarray(sd[f"{prefix}.conv.bias"], jnp.float32)}
+
+    params["face_encoder"] = {
+        "conv1_local": cc1d("face_encoder.conv1_local"),
+        "conv2": cc1d("face_encoder.conv2"),
+        "conv3": cc1d("face_encoder.conv3"),
+        "out_proj": _lin(sd, "face_encoder.out_proj", dtype),
+        "padding_tokens": jnp.asarray(sd["face_encoder.padding_tokens"],
+                                      dtype),
+    }
+
+    # --- face adapter blocks ---------------------------------------------
+    adapters = []
+    for j in range(cfg.adapter_layers):
+        b = f"face_adapter.fuser_blocks.{j}"
+        adapters.append({
+            "linear1_kv": _lin(sd, f"{b}.linear1_kv", dtype),
+            "linear1_q": _lin(sd, f"{b}.linear1_q", dtype),
+            "linear2": _lin(sd, f"{b}.linear2", dtype),
+            "q_norm": jnp.asarray(sd[f"{b}.q_norm.weight"], dtype),
+            "k_norm": jnp.asarray(sd[f"{b}.k_norm.weight"], dtype),
+        })
+    params["face_adapter"] = _stack(adapters)
+    return params
+
+
 # ---------------------------------------------------------------------------
 # Wan video VAE
 # ---------------------------------------------------------------------------

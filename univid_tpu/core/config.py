@@ -276,6 +276,18 @@ def _tiny_moe(i2v: bool = False) -> WanModelSpec:
         moe_boundary=0.875)
 
 
+def animate_14b():
+    """WanAnimate-14B (reference animate.py:36 + model_animate.py:250-268;
+    the wan_animate_14B config file is absent in-tree, SURVEY.md §0.1 —
+    sizes from the model defaults). Returns (animate_cfg, vae_cfg)."""
+    from ..models.wan.animate import WanAnimateConfig
+    vae = WanVAEConfig(
+        dim=96, dec_dim=96, z_dim=16,
+        temporal_downsample=(True, True, False), spatial_patch=1,
+        vae_stride=(4, 8, 8))
+    return WanAnimateConfig(), vae
+
+
 WAN_CONFIGS = {
     "ti2v-5B": _ti2v_5b(),
     "t2v-A14B": _t2v_a14b(),

@@ -1,0 +1,6 @@
+from .model import WanAnimateConfig, init_wan_animate, wan_animate_forward
+from .motion_encoder import get_motion, init_motion_encoder
+from .face_blocks import (face_block_forward, face_encoder_forward,
+                          init_face_block, init_face_encoder)
+from .clip_vit import (ClipVisionConfig, clip_preprocess,
+                       clip_visual_forward, init_clip_vision)

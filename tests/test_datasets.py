@@ -1,0 +1,110 @@
+"""Dataset adapter tests: frame-index sampling parity, VLM jsonl
+conversation formatting (losses on gpt turns, <image>/<video>
+interleaving), T2I caption+vae sample shape, and packing end-to-end
+through PackedDataset into bagel_packed_forward-compatible batches."""
+
+import json
+
+import numpy as np
+import pytest
+
+from univid_tpu.data.datasets import (FrameSampler, SftJSONLIterableDataset,
+                                      T2IIterableDataset,
+                                      get_frame_indices, _change_format)
+from univid_tpu.data.packed_dataset import PackedDataConfig, PackedDataset
+from univid_tpu.data.transforms import ImageTransform
+
+
+class _Tok:
+    def encode(self, s):
+        return [ord(c) % 100 + 2 for c in s][:12]
+
+
+def test_get_frame_indices_modes():
+    mid = get_frame_indices(4, 16, sample="middle")
+    assert mid == [1, 5, 9, 13]
+    fixed = get_frame_indices(4, 16, sample="rand", fix_start=0)
+    assert fixed == [0, 4, 8, 12]
+    # padding with the last frame when the video is short
+    short = get_frame_indices(6, 3, sample="middle")
+    assert len(short) == 6 and short[-1] == short[2]
+    fps = get_frame_indices(0, 30, sample="fps0.5", input_fps=1,
+                            max_num_frames=8)
+    assert len(fps) == 8 and all(i < 30 for i in fps)
+
+
+def test_change_format_interleaves_and_losses():
+    convs = [
+        {"from": "human", "value": "look <image> and <image> now"},
+        {"from": "gpt", "value": "an answer"},
+    ]
+    els = _change_format(convs, 2)
+    types = [(e["type"], e.get("has_loss")) for e in els]
+    assert types == [("text", 0), ("image", None), ("text", 0),
+                     ("image", None), ("text", 0), ("text", 1)]
+
+
+def test_sft_jsonl_dataset(tmp_path):
+    from PIL import Image
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.fromarray(np.full((40, 30, 3), 128, np.uint8)).save(
+        str(img_dir / "a.png"))
+    rows = [
+        {"image": "a.png", "conversations": [
+            {"from": "human", "value": "<image> what is this?"},
+            {"from": "gpt", "value": "a gray square"}]},
+        {"image": "a.png", "conversations": [   # no gpt turn -> skipped
+            {"from": "human", "value": "<image> hi"}]},
+    ]
+    jp = tmp_path / "d.jsonl"
+    with open(jp, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    ds = SftJSONLIterableDataset(
+        [str(jp)], [str(img_dir)],
+        transform=ImageTransform(56, 28, 14), tokenizer=_Tok())
+    samples = list(ds)
+    assert len(samples) == 1
+    s = samples[0]
+    assert [p["type"] for p in s["sequence_plan"]] == \
+        ["vit_image", "text", "text"]
+    assert [p["loss"] for p in s["sequence_plan"]] == [0, 0, 1]
+    assert s["image_list"][0].shape[0] % 14 == 0
+
+
+def test_t2i_dataset_and_packing(tmp_path):
+    from PIL import Image
+    img_dir = tmp_path
+    Image.fromarray(np.full((32, 32, 3), 200, np.uint8)).save(
+        str(img_dir / "b.png"))
+    jp = tmp_path / "t2i.jsonl"
+    with open(jp, "w") as f:
+        f.write(json.dumps({"image": "b.png",
+                            "captions": {"short": "a bright square"}})
+                + "\n")
+
+    def latent_fn(pix):  # stub VAE: 8x downsample by striding, 4ch
+        return np.ascontiguousarray(
+            pix[::8, ::8, :1].repeat(4, -1)).astype(np.float32)
+
+    ds = T2IIterableDataset.from_jsonl(
+        str(jp), transform=ImageTransform(32, 16, 16),
+        tokenizer=_Tok(), latent_fn=latent_fn, image_dir=str(img_dir))
+    samples = list(ds)
+    assert len(samples) == 1
+    assert samples[0]["sequence_plan"][1]["type"] == "vae_image"
+
+    packed = PackedDataset(
+        [(lambda: iter(samples), 1.0)],
+        data_config=PackedDataConfig(max_latent_size=8, bos_token_id=190,
+                                     eos_token_id=191, start_of_image=192,
+                                     end_of_image=193),
+        expected_num_tokens=8, max_num_tokens=64)
+    batches = list(packed)
+    assert len(batches) == 1
+    b = batches[0]
+    assert "packed_latent_clean" in b
+    assert b["packed_latent_clean"].shape[0] == 16  # 4x4 latent grid
+    assert np.isfinite(b["packed_timesteps"]).all()

@@ -33,12 +33,16 @@ def measure(model: str, w: int, h: int, frames: int, steps_measured: int,
     from univid_tpu.pipelines.ti2v import WanTI2VPipeline
     from univid_tpu.core import nn as unn
 
+    from univid_tpu.core.dtypes import BF16_RESIDUAL_POLICY, DEFAULT_POLICY
+    policy = BF16_RESIDUAL_POLICY \
+        if os.environ.get("BENCH_BF16_RESIDUAL", "0") != "0" \
+        else DEFAULT_POLICY
     spec = WAN_CONFIGS[model]
     dit_params = init_wan_dit(jax.random.PRNGKey(0), spec.dit,
                               param_dtype=jnp.bfloat16)
     vae_params = init_wan_vae(jax.random.PRNGKey(1), spec.vae,
                               param_dtype=jnp.bfloat16) if decode else None
-    pipe = WanTI2VPipeline(spec, dit_params, vae_params)
+    pipe = WanTI2VPipeline(spec, dit_params, vae_params, policy=policy)
 
     ctx = jax.random.normal(jax.random.PRNGKey(2),
                             (spec.dit.text_len, spec.dit.text_dim),

@@ -121,3 +121,36 @@ def test_zero_init_head_gives_zero_velocity():
     out = wan_dit_forward(params, TINY, x, t, ctx, cos, sin,
                           policy=FP32_POLICY)
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-5)
+
+
+def test_bf16_residual_policy_close_to_fp32():
+    """BF16_RESIDUAL_POLICY output stays within bf16 tolerance of the
+    default fp32-residual policy (norm/modulation islands stay fp32)."""
+    import jax
+    import jax.numpy as jnp
+    from univid_tpu.core.config import WAN_CONFIGS
+    from univid_tpu.core.dtypes import BF16_RESIDUAL_POLICY, DTypePolicy
+    from univid_tpu.models.wan.dit import init_wan_dit, wan_dit_forward
+    from univid_tpu.ops.rope import build_rope_3d
+
+    cfg = WAN_CONFIGS["tiny"].dit
+    params = init_wan_dit(jax.random.PRNGKey(0), cfg,
+                          param_dtype=jnp.bfloat16)
+    params["head"]["head"]["w"] = 0.02 * jax.random.normal(
+        jax.random.PRNGKey(9), params["head"]["head"]["w"].shape,
+        jnp.bfloat16)
+    grid = (2, 4, 4)
+    cos, sin = build_rope_3d(cfg.head_dim, grid)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 8, 8, cfg.in_dim))
+    t = jnp.asarray([500.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(2),
+                            (1, cfg.text_len, cfg.text_dim))
+
+    ref = wan_dit_forward(params, cfg, x, t, ctx, cos, sin,
+                          policy=DTypePolicy())
+    fast = wan_dit_forward(params, cfg, x, t, ctx, cos, sin,
+                           policy=BF16_RESIDUAL_POLICY)
+    import numpy as np
+    err = np.abs(np.asarray(fast) - np.asarray(ref)).max()
+    scale = np.abs(np.asarray(ref)).max() + 1e-6
+    assert err / scale < 0.05, (err, scale)

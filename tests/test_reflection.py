@@ -139,3 +139,82 @@ def test_dynamic_branch_mmr_pyramid():
     assert trace["qtype_init"] == "dynamic"
     assert [r["K"] for r in trace["rounds"]] == [64, 32, 16]
     assert ans == "answer from 16 frames"
+
+
+def test_static_cumulative_selection_semantics():
+    """Reference 4->8->16 semantics (eval_understanding.py:598-615): each
+    round KEEPS the previously selected frames and tops up only
+    K - len(selected) new ones, excluded from re-selection."""
+    bagel = MockBagel()
+    refl, judge = make_reflection_clients(None)
+
+    class SpyScorer(MockScorer):
+        def __init__(self):
+            super().__init__(16)
+            self.requests = []
+
+        def rank_frames(self, frames, query, topk, bs=64):
+            self.requests.append((len(frames), topk))
+            return list(range(topk)), [1.0] * topk
+
+    scorer = SpyScorer()
+    cfg = ReflexionConfig(pool_frames=16, caption_seed_frames=2,
+                          static_seq=(4, 8, 16))
+    _, trace = reflexion_answer_one(
+        "v.mp4", "what?", bagel, refl, judge, scorer, cfg,
+        frames=_frames(16))
+    # top-ups: 4 new from 16 remaining, 4 new from 12, 8 new from 8
+    assert scorer.requests == [(16, 4), (12, 4), (8, 8)]
+    assert [r["K"] for r in trace["rounds"]] == [4, 8, 16]
+
+
+def test_accept_by_score_threshold():
+    """score >= 0.7 accepts even when verdict says reject
+    (eval_understanding.py:627-631)."""
+    bagel = MockBagel()
+    refl, _ = make_reflection_clients(None)
+
+    class ScoreOnly(AcceptingJudge):
+        def eval_answer(self, q, cap, ans):
+            return {"score": 0.75, "verdict": "reject",
+                    "brief_reason": "meh"}
+
+    cfg = ReflexionConfig(pool_frames=16, caption_seed_frames=2,
+                          static_seq=(4, 8, 16))
+    ans, trace = reflexion_answer_one(
+        "v.mp4", "what?", bagel, refl, ScoreOnly(), MockScorer(16), cfg,
+        frames=_frames(16))
+    assert len(trace["rounds"]) == 1 and ans == "answer from 4 frames"
+
+
+def test_fallback_reason_strings_match_reference():
+    """Fallback reasons are the exact reference trace constants
+    (eval_understanding.py:639-646)."""
+    bagel = MockBagel()
+    refl, _ = make_reflection_clients(None)
+    cfg = ReflexionConfig(pool_frames=16, caption_seed_frames=2,
+                          static_seq=(4, 8, 16))
+
+    class RejectingJudgeInformative(AcceptingJudge):
+        def eval_answer(self, q, cap, ans):
+            return {"score": 0.1, "verdict": "reject", "brief_reason": "no"}
+
+        def answer_from_global(self, q, cap):
+            return "the ball is red"
+
+    ans, trace = reflexion_answer_one(
+        "v.mp4", "what?", bagel, refl, RejectingJudgeInformative(),
+        MockScorer(16), cfg, frames=_frames(16))
+    assert trace["fallback"]["reason"] == "final_score_below_0.7"
+    assert ans == "the ball is red"  # informative global answer wins
+
+    class RejectingJudgeUseless(RejectingJudgeInformative):
+        def answer_from_global(self, q, cap):
+            return "Not enough evidence."
+
+    ans2, trace2 = reflexion_answer_one(
+        "v.mp4", "what?", bagel, refl, RejectingJudgeUseless(),
+        MockScorer(16), cfg, frames=_frames(16))
+    assert trace2["fallback"]["reason"] == \
+        "final_score_below_0.7_and_global_not_enough"
+    assert ans2 == "answer from 16 frames"  # last bagel answer

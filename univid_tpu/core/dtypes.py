@@ -18,6 +18,11 @@ import jax.numpy as jnp
 class DTypePolicy:
     param_dtype: jnp.dtype = jnp.bfloat16
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # residual stream accumulation dtype: fp32 by default (the reference
+    # keeps fp32 modulation/time islands and accumulates residuals in
+    # fp32 under autocast); bf16 halves residual HBM traffic for
+    # inference — see BF16_RESIDUAL_POLICY
+    residual_dtype: jnp.dtype = jnp.float32
     # fp32 islands
     norm_dtype: jnp.dtype = jnp.float32
     modulation_dtype: jnp.dtype = jnp.float32
@@ -27,6 +32,10 @@ class DTypePolicy:
 
 
 DEFAULT_POLICY = DTypePolicy()
+
+# Inference-speed policy: residual stream in bf16 (norm statistics and
+# modulation still fp32 inside the blocks).
+BF16_RESIDUAL_POLICY = DTypePolicy(residual_dtype=jnp.bfloat16)
 
 # Full-precision policy for parity testing on CPU.
 FP32_POLICY = DTypePolicy(

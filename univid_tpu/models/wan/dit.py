@@ -158,9 +158,9 @@ def _attn_qkv(p, x, n_heads, policy):
 
 
 def _modulated(x32, shift, scale, eps):
-    """AdaLN: LayerNorm(x) * (1 + scale) + shift, all fp32
-    (model.py:243-253)."""
-    y = nn.layer_norm(x32, eps=eps)
+    """AdaLN: LayerNorm(x) * (1 + scale) + shift, fp32 statistics
+    regardless of the residual dtype (model.py:243-253)."""
+    y = nn.layer_norm(x32.astype(jnp.float32), eps=eps)
     return y * (1.0 + scale) + shift
 
 
@@ -237,7 +237,8 @@ def _blocks_and_head(params, cfg: WanDiTConfig, h, e, e0, ctx,
     b, l, _ = h.shape
     n = cfg.num_heads
     ctx_len = ctx.shape[1]
-    x32 = h.astype(jnp.float32)  # residual stream fp32
+    rdt = policy.residual_dtype
+    x32 = h.astype(rdt)  # residual stream (fp32 default; bf16 policy opt)
 
     def block_fn(x32, bp):
         mod = bp["modulation"].astype(jnp.float32)[None, None] + e0
@@ -259,13 +260,14 @@ def _blocks_and_head(params, cfg: WanDiTConfig, h, e, e0, ctx,
         attn = attn.reshape(b, l, cfg.dim)
         attn = nn.linear(bp["self_attn"]["o"], attn,
                          compute_dtype=policy.compute_dtype)
-        x32 = x32 + attn.astype(jnp.float32) * sel(2)
+        x32 = x32 + (attn.astype(jnp.float32) * sel(2)).astype(rdt)
 
         # cross-attention (norm3 affine if cross_attn_norm)
         if "norm3" in bp:
-            y = nn.layer_norm(x32, weight=bp["norm3"]["w"].astype(
-                jnp.float32), bias=bp["norm3"]["b"].astype(jnp.float32),
-                eps=cfg.eps)
+            y = nn.layer_norm(x32.astype(jnp.float32),
+                              weight=bp["norm3"]["w"].astype(jnp.float32),
+                              bias=bp["norm3"]["b"].astype(jnp.float32),
+                              eps=cfg.eps)
         else:
             y = x32
         y = y.astype(policy.compute_dtype)
@@ -285,7 +287,7 @@ def _blocks_and_head(params, cfg: WanDiTConfig, h, e, e0, ctx,
         v = v.reshape(b, ctx_len, n, dh)
         attn = attention(q, k, v).reshape(b, l, cfg.dim)
         attn = nn.linear(ca["o"], attn, compute_dtype=policy.compute_dtype)
-        x32 = x32 + attn.astype(jnp.float32)
+        x32 = x32 + attn.astype(rdt)
 
         # ffn
         y = _modulated(x32, sel(3), sel(4), cfg.eps)
@@ -295,7 +297,7 @@ def _blocks_and_head(params, cfg: WanDiTConfig, h, e, e0, ctx,
         y = nn.gelu_tanh(y)
         y = nn.linear(bp["ffn"]["fc1"], y,
                       compute_dtype=policy.compute_dtype)
-        x32 = x32 + y.astype(jnp.float32) * sel(5)
+        x32 = x32 + (y.astype(jnp.float32) * sel(5)).astype(rdt)
         return x32
 
     if remat_blocks:
@@ -312,7 +314,8 @@ def _blocks_and_head(params, cfg: WanDiTConfig, h, e, e0, ctx,
         + e[:, :, None, :]                                   # [B, 2, 2, dim]
     shift = _select_rows(head_mod[:, :, 0], t_zero_mask)
     scale = _select_rows(head_mod[:, :, 1], t_zero_mask)
-    y = nn.layer_norm(x32, eps=cfg.eps) * (1.0 + scale) + shift
+    y = nn.layer_norm(x32.astype(jnp.float32), eps=cfg.eps) \
+        * (1.0 + scale) + shift
     return nn.linear(hp["head"], y, compute_dtype=jnp.float32)
 
 

@@ -222,3 +222,64 @@ def test_dp_sharded_scorer_matches_serial():
 
     assert e_sharded.shape == e_serial.shape == (11, tcfg.proj_dim)
     np.testing.assert_allclose(e_sharded, e_serial, rtol=1e-4, atol=1e-5)
+
+
+@requires_8
+def test_bagel_llm_sharded_forward_matches_single_device():
+    """fsdp/tp-sharded Qwen2-MoT AR-prefill == unsharded (BAGEL-7B does
+    not fit one chip in bf16; these rules are its memory-scaling path)."""
+    from univid_tpu.models.bagel.qwen2_mot import (Qwen2MoTConfig,
+                                                   init_kv_cache,
+                                                   init_qwen2_mot,
+                                                   qwen2_mot_forward)
+    from univid_tpu.parallel.sharding import bagel_llm_param_sharding_rules
+
+    cfg = Qwen2MoTConfig(vocab_size=256, hidden_size=64,
+                         intermediate_size=128, num_layers=2, num_heads=8,
+                         num_kv_heads=4)
+    params = init_qwen2_mot(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, cfg.hidden_size))
+    pos = jnp.arange(16)
+    cache = init_kv_cache(cfg, 64, dtype=jnp.float32)
+    ref, _ = qwen2_mot_forward(params, cfg, x, pos, cache, mode="und",
+                               compute_dtype=jnp.float32)
+
+    mesh = make_mesh(MeshSpec(dp=1, fsdp=2, sp=1, tp=4),
+                     devices=jax.devices()[:8])
+    sharding = apply_sharding_rules(params, mesh,
+                                    bagel_llm_param_sharding_rules())
+    params_s = jax.device_put(params, sharding)
+    # the big leaves actually shard (not silently replicated)
+    qs = sharding["layers"]["attn"]["q"]["w"].spec
+    assert "fsdp" in str(qs) and "tp" in str(qs)
+    with mesh:
+        got, _ = qwen2_mot_forward(params_s, cfg, x, pos, cache,
+                                   mode="und", compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@requires_8
+def test_t5_sharded_encode_matches_single_device():
+    from univid_tpu.core.config import T5Config
+    from univid_tpu.models.wan.t5 import encode_padded, init_t5_encoder
+    from univid_tpu.parallel.sharding import t5_param_sharding_rules
+
+    cfg = T5Config(vocab_size=128, dim=64, dim_attn=64, dim_ffn=128,
+                   num_heads=4, num_layers=2, text_len=16)
+    params = init_t5_encoder(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 128)
+    lens = jnp.asarray([9, 16], jnp.int32)
+    ref = encode_padded(params, cfg, ids, lens,
+                        compute_dtype=jnp.float32)
+
+    mesh = make_mesh(MeshSpec(dp=1, fsdp=4, sp=1, tp=2),
+                     devices=jax.devices()[:8])
+    sharding = apply_sharding_rules(params, mesh,
+                                    t5_param_sharding_rules())
+    params_s = jax.device_put(params, sharding)
+    with mesh:
+        got = encode_padded(params_s, cfg, ids, lens,
+                            compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

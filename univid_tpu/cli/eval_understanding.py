@@ -95,6 +95,13 @@ def load_models(args):
     if not args.mock_weights and os.path.isdir(args.siglip_ckpt):
         scorer = Siglip2Scorer.from_checkpoint(args.siglip_ckpt)
     else:
+        if not args.mock_weights:
+            import sys
+            print(f"WARNING: --siglip_ckpt '{args.siglip_ckpt}' is not a "
+                  "local checkpoint directory; using a RANDOM-init SigLIP "
+                  "scorer — frame-relevance ranking will be noise. Pass a "
+                  "downloaded SigLIP2 checkpoint dir for real evals.",
+                  file=sys.stderr)
         scorer = Siglip2Scorer(tokenizer=tokenizer)
     return inferencer, scorer
 

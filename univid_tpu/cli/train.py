@@ -32,10 +32,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_interval", type=int, default=10)
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--no_one_cycle", action="store_true")
+    p.add_argument("--objective", default="semantic",
+                   choices=["semantic", "diffusion"],
+                   help="semantic = projector alignment vs UMT5 "
+                        "(model_pipeline.py:3328-3373); diffusion = "
+                        "velocity MSE through the LoRA-merged DiT "
+                        "(:2765-3142)")
     p.add_argument("--train_lora", action="store_true",
-                   help="also train Wan DiT LoRA (diffusion path needs "
-                        "checkpoints; the semantic path trains the "
-                        "projector only, model_pipeline.py:3328-3373)")
+                   help="train Wan DiT LoRA — implies "
+                        "--objective diffusion (the semantic loss never "
+                        "reaches the LoRA leaves)")
     p.add_argument("--lora_rank", type=int, default=16)
     p.add_argument("--lora_strategy", default="wan_cross_attention")
     p.add_argument("--no_resume", action="store_true")
@@ -121,11 +127,33 @@ def main(argv=None):
     if len(dataset) == 0:
         raise SystemExit(f"no samples under {args.video_dir}")
 
+    objective = "diffusion" if args.train_lora else args.objective
     train_cfg = FusionTrainConfig(
         learning_rate=args.learning_rate,
         use_one_cycle_lr=not args.no_one_cycle,
         max_steps=args.max_steps, save_interval=args.save_interval,
         log_interval=args.log_interval, train_lora=args.train_lora)
+
+    diffusion = None
+    if objective == "diffusion":
+        from ..core.config import latent_shape
+        if args.checkpoint_dir and not args.mock_weights:
+            from ..core.checkpoint import load_wan_checkpoint
+            dit_params, vae_params = load_wan_checkpoint(
+                args.checkpoint_dir, spec)
+        else:
+            from ..models.wan.dit import init_wan_dit
+            from ..models.wan.vae_api import init_wan_vae
+            dit_params = init_wan_dit(jax.random.PRNGKey(20), spec.dit)
+            # fresh DiTs zero-init the head (reference init parity) which
+            # blocks all gradient flow; mock runs need live weights
+            hw = dit_params["head"]["head"]["w"]
+            dit_params["head"]["head"]["w"] = 0.02 * jax.random.normal(
+                jax.random.PRNGKey(22), hw.shape, hw.dtype)
+            vae_params = init_wan_vae(jax.random.PRNGKey(21), spec.vae)
+        _, f, hh, ww = latent_shape(spec, w, h, args.video_length)
+        diffusion = {"spec": spec, "dit_params": dit_params,
+                     "vae_params": vae_params, "latent_grid": (f, hh, ww)}
 
     out = train_cross_attention_fusion(
         dataset, extract_tokens, t5_supervision, fusion_cfg, train_cfg,
@@ -133,7 +161,7 @@ def main(argv=None):
         dit_cfg=spec.dit if args.train_lora else None,
         lora_cfg=LoRAConfig(rank=args.lora_rank,
                             target_strategy=args.lora_strategy),
-        log=print)
+        diffusion=diffusion, log=print)
     summary = {"steps": out["steps"], "best_loss": out["best_loss"],
                "output_dir": args.output_dir}
     print(json.dumps(summary))

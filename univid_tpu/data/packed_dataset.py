@@ -87,9 +87,14 @@ class DistributedIterableDataset:
         self.world_size = world_size
         self.rng = random.Random()
         self.paths_per_rank: List = list(self.paths)
+        # shard immediately (the reference subclasses call set_epoch in
+        # __init__, distributed_iterable_dataset.py init paths) — without
+        # this every rank would iterate identical data
+        if world_size > 1:
+            self.set_epoch()
 
     def set_epoch(self, seed: int = 42):
-        paths = sorted(self.paths)
+        paths = sorted(self.paths, key=repr)
         self.rng.seed(seed)
         self.rng.shuffle(paths)
         per_rank = len(paths) // self.world_size
@@ -188,11 +193,13 @@ class PackedDataset:
             if st["curr"] + n > self.max_num_tokens:
                 if len(buffer) < self.max_buffer_size and not from_buffer:
                     buffer.append(sample)
-                else:
-                    yield self.to_batch(st, indexes)
-                    st = self._fresh_status()
-                    indexes = []
-                continue
+                    continue
+                # buffer full: yield the pack and start the fresh one
+                # WITH this sample (dropping it would silently lose
+                # training data under sustained buffer pressure)
+                yield self.to_batch(st, indexes)
+                st = self._fresh_status()
+                indexes = []
 
             st = self.pack_sequence(sample, st)
             indexes.append(sample.get("data_indexes"))

@@ -165,6 +165,10 @@ def flash_attention_padded(
     block_q = min(block_q, lq)
     block_k = min(block_k, lk)
     assert lq % block_q == 0 and lk % block_k == 0, (lq, lk, block_q, block_k)
+    # the packed-mode causal term uses raw global row indices; a nonzero
+    # offset would silently diverge from the XLA reference
+    assert not (packed_mode and (q_offset != 0 or q_offsets is not None)), \
+        "packed_mode does not support q offsets"
     if softmax_scale is None:
         softmax_scale = 1.0 / math.sqrt(d)
     # fold the softmax scale AND log2(e) into q once (O(L*d)) instead of

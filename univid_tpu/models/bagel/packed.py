@@ -36,15 +36,40 @@ def build_mask_ids(sample_lens: List[int], split_lens: List[int],
                    attn_modes: List[str]
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(doc_id, fn_id, noise_id) per token, the create_sparse_mask id
-    arrays (data_utils.py:27-40). doc ids start at 1; fn/noise are the
-    split index for full/noise (resp. noise) splits else -1."""
+    arrays (data_utils.py:27-40). doc ids start at 1.
+
+    The fn/noise split ids are re-indexed PER DOCUMENT (1-based): the
+    mask predicate ANDs a same-document check, so ids only need to be
+    unique within a document — this keeps them inside the 8-bit fields
+    of pack_mask_codes for arbitrarily many splits per pack. Bounds are
+    checked (255 full/noise splits per sample, 65535 documents)."""
+    if len(sample_lens) > 0xFFFF:
+        raise ValueError(f"{len(sample_lens)} documents exceed the 16-bit "
+                         "doc field")
     doc_id = np.concatenate([np.full(l, i + 1, np.int32)
                              for i, l in enumerate(sample_lens)])
-    fn, nz = [], []
-    for i, (l, mode) in enumerate(zip(split_lens, attn_modes)):
-        fn.extend([i if mode in ("full", "noise") else -1] * l)
-        nz.extend([i if mode == "noise" else -1] * l)
-    return doc_id, np.asarray(fn, np.int32), np.asarray(nz, np.int32)
+    fn = np.full(int(np.sum(split_lens)), -1, np.int32)
+    nz = np.full(fn.shape[0], -1, np.int32)
+    # walk splits, tracking which document each split belongs to
+    doc_bounds = np.cumsum(sample_lens)
+    pos = 0
+    doc_i = 0
+    fn_next = nz_next = 1
+    for l, mode in zip(split_lens, attn_modes):
+        while pos >= doc_bounds[doc_i]:
+            doc_i += 1
+            fn_next = nz_next = 1
+        if mode in ("full", "noise"):
+            if fn_next > 0xFE:
+                raise ValueError("more than 254 full/noise splits in one "
+                                 "sample exceed the 8-bit mask field")
+            fn[pos:pos + l] = fn_next - 1  # pack_mask_codes adds 1
+            fn_next += 1
+        if mode == "noise":
+            nz[pos:pos + l] = nz_next - 1
+            nz_next += 1
+        pos += l
+    return doc_id, fn, nz
 
 
 def qwen2_mot_packed_forward(params, cfg: Qwen2MoTConfig, seq, pos_ids,

@@ -66,6 +66,7 @@ class InterleaveInferencer:
         self.vae_cfg = vae_cfg
         self.capacity = capacity
         self.dtype = compute_dtype
+        self._caption_jit_cache = {}
 
     # ------------------------------------------------------------------
     def init_gen_context(self):
@@ -152,9 +153,14 @@ class InterleaveInferencer:
         assert self.siglip_params is not None
         if not frames:
             return []
-        scfg = self.siglip_cfg
-        preps = [self._prep_image_bucketed(f) for f in frames]
-        bucket = max(p[0].shape[0] for p in preps)
+        # one resize pass to learn each frame's patch count, shared bucket
+        sizes = []
+        for f in frames:
+            img = self.vit_resize(f)
+            p = self.siglip_cfg.patch_size
+            sizes.append((img.shape[0] // p) * (img.shape[1] // p))
+        bucket = next((b for b in self.VIT_BUCKETS if b >= max(sizes)),
+                      max(sizes))
         preps = [self._prep_image_bucketed(f, bucket=bucket)
                  for f in frames]
         patches = jnp.stack([p[0] for p in preps])
@@ -170,28 +176,39 @@ class InterleaveInferencer:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         rngs = jax.random.split(rng, len(frames))
 
-        def one(patches_i, pos_i, segs_i, n_i, rng_i):
-            ctx = init_gen_context(self.cfg, cap,
-                                   dtype=jnp.bfloat16
-                                   if self.dtype == jnp.bfloat16
-                                   else jnp.float32)
-            feats = siglip_forward(self.siglip_params, scfg, patches_i,
-                                   pos_i, segment_ids=segs_i,
-                                   compute_dtype=self.dtype)
-            ctx = update_context_vit(self.params, self.cfg, ctx, feats,
-                                     pos_i, compute_dtype=self.dtype,
-                                     n_valid=n_i)
-            ctx = update_context_text(self.params, self.cfg, ctx, ids,
-                                      compute_dtype=self.dtype)
-            tokens, length = generate_text(
-                self.params, self.cfg, ctx, max_length=max_length,
-                do_sample=do_sample, temperature=temperature,
-                end_token_id=self.cfg.eos_token_id, rng=rng_i,
-                compute_dtype=self.dtype)
-            return tokens, length
+        # the jitted vmapped program is cached per static signature —
+        # rebuilding the closure per call would recompile every video
+        key = (bucket, cap, len(ids), max_length, do_sample, temperature)
+        fn = self._caption_jit_cache.get(key)
+        if fn is None:
+            scfg = self.siglip_cfg
 
-        tokens, lengths = jax.jit(jax.vmap(one))(patches, pos, segs, ns,
-                                                 rngs)
+            def one(patches_i, pos_i, segs_i, n_i, ids_i, rng_i):
+                ctx = init_gen_context(self.cfg, cap,
+                                       dtype=jnp.bfloat16
+                                       if self.dtype == jnp.bfloat16
+                                       else jnp.float32)
+                feats = siglip_forward(self.siglip_params, scfg,
+                                       patches_i, pos_i,
+                                       segment_ids=segs_i,
+                                       compute_dtype=self.dtype)
+                ctx = update_context_vit(self.params, self.cfg, ctx,
+                                         feats, pos_i,
+                                         compute_dtype=self.dtype,
+                                         n_valid=n_i)
+                ctx = update_context_text(self.params, self.cfg, ctx,
+                                          ids_i, compute_dtype=self.dtype)
+                tokens, length = generate_text(
+                    self.params, self.cfg, ctx, max_length=max_length,
+                    do_sample=do_sample, temperature=temperature,
+                    end_token_id=self.cfg.eos_token_id, rng=rng_i,
+                    compute_dtype=self.dtype)
+                return tokens, length
+
+            fn = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, None, 0)))
+            self._caption_jit_cache[key] = fn
+
+        tokens, lengths = fn(patches, pos, segs, ns, ids, rngs)
         outs = []
         for row, ln in zip(np.asarray(tokens), np.asarray(lengths)):
             toks = [int(t) for t in row[: int(ln)]

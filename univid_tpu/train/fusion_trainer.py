@@ -233,12 +233,30 @@ def train_cross_attention_fusion(
     resume: bool = True,
     dit_cfg=None,
     lora_cfg: Optional[LoRAConfig] = None,
+    diffusion: Optional[Dict] = None,
     log: Optional[Callable[[str], None]] = None,
 ) -> Dict:
-    """Semantic-alignment training loop over dataset captions. Returns
-    {'steps', 'best_loss', 'losses'}."""
+    """Training loop over dataset samples. Returns {'steps', 'best_loss',
+    'losses'}.
+
+    Objective: semantic alignment (projector) by default; pass
+    `diffusion={'spec': WanModelSpec, 'dit_params': ..., 'vae_params':
+    ..., 'latent_grid': (f, h, w)}` to run the velocity-MSE objective
+    through the LoRA-merged DiT instead — the ONLY objective whose loss
+    reaches the LoRA leaves. train_lora without it would give LoRA
+    exactly-zero gradients (the reference has the same quirk: its
+    semantic path never touches the DiT, model_pipeline.py:3328-3373).
+    Dataset samples need a 'video' [T, H, W, 3] field on the diffusion
+    path.
+    """
     log = log or (lambda s: None)
-    state, tx, _ = init_fusion_train_state(
+    if train_cfg.train_lora and diffusion is None:
+        raise ValueError(
+            "train_lora=True with the semantic objective trains nothing: "
+            "the semantic loss never touches the DiT, so LoRA gradients "
+            "are exactly zero. Pass `diffusion=...` (velocity-MSE through "
+            "the LoRA-merged DiT) or set train_lora=False.")
+    state, tx, lora_template = init_fusion_train_state(
         jax.random.PRNGKey(seed), fusion_cfg, train_cfg, dit_cfg=dit_cfg,
         lora_cfg=lora_cfg)
     ckpt_dir = os.path.join(output_dir, "latest")
@@ -246,8 +264,17 @@ def train_cross_attention_fusion(
         state = load_train_state(ckpt_dir, state)
         log(f"resumed at step {int(state['step'])}")
 
-    step_fn = make_semantic_train_step(fusion_cfg, tx)
+    if diffusion is not None:
+        diff_step, encode = make_diffusion_train_step(
+            diffusion["spec"], fusion_cfg, train_cfg, tx,
+            diffusion["dit_params"], diffusion["vae_params"],
+            diffusion["latent_grid"], lora_template=lora_template)
+    else:
+        sem_step = make_semantic_train_step(fusion_cfg, tx)
+
+    rng = jax.random.PRNGKey(seed + 1)
     losses = []
+    best_saved = float("inf")
     while int(state["step"]) < train_cfg.max_steps:
         for sample in dataset:
             if int(state["step"]) >= train_cfg.max_steps:
@@ -255,19 +282,36 @@ def train_cross_attention_fusion(
             caption = sample["caption"] if isinstance(sample, dict) \
                 else str(sample)
             bagel_tokens = extract_tokens(caption)[None]
-            supervision = t5_supervision(caption)[None]
-            state, loss, aux = step_fn(state, bagel_tokens, supervision)
+            if diffusion is not None:
+                latents = encode(jnp.asarray(sample["video"])[None])
+                rng, k1, k2 = jax.random.split(rng, 3)
+                batch = {
+                    "latents": latents,
+                    "bagel_tokens": bagel_tokens,
+                    "noise": jax.random.normal(k1, latents.shape),
+                    "t": jax.random.uniform(
+                        k2, (1,), minval=0.0,
+                        maxval=float(train_cfg.num_train_timesteps)),
+                }
+                state, loss = diff_step(state, batch)
+                aux = {"semantic_loss": jnp.zeros(())}
+            else:
+                supervision = t5_supervision(caption)[None]
+                state, loss, aux = sem_step(state, bagel_tokens,
+                                            supervision)
             loss = float(loss)
             losses.append(loss)
             step = int(state["step"])
             if step % train_cfg.log_interval == 0:
                 log(f"step {step}: loss={loss:.6f} "
                     f"semantic={float(aux['semantic_loss']):.6f}")
+            # best-model tracking: persist every improvement, not only
+            # improvements landing on a save_interval boundary
+            if loss < best_saved:
+                best_saved = loss
+                save_train_state(os.path.join(output_dir, "best"), state)
             if step % train_cfg.save_interval == 0:
                 save_train_state(ckpt_dir, state)
-                if loss <= float(state["best_loss"]):
-                    save_train_state(os.path.join(output_dir, "best"),
-                                     state)
         if not losses:
             break  # empty dataset
 

@@ -107,7 +107,9 @@ class OfflinePromptExpander(PromptExpander):
     def extend(self, prompt, system_prompt, seed=-1) -> PromptOutput:
         return PromptOutput(True, prompt, seed, system_prompt, "offline")
 
-    extend_with_img = extend
+    def extend_with_img(self, prompt, system_prompt, image=None,
+                        seed=-1) -> PromptOutput:
+        return self.extend(prompt, system_prompt, seed)
 
 
 class DashScopePromptExpander(PromptExpander):

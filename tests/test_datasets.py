@@ -128,3 +128,62 @@ def test_smart_resize_and_nframes():
     assert smart_nframes({"nframes": 9}, 100, 30.0) == 8  # round to x2
     n = smart_nframes({"fps": 2.0}, 300, 30.0)
     assert n == 20  # 10s * 2fps
+
+
+def test_unified_edit_dataset_and_video_builder():
+    """Edit chain -> condition (vae+vit) + instruction + noised target;
+    video builder emits one multi-frame split with frame_delta jumps
+    (interleave_t2i_dataset.py:88-130, edit_dataset.py:19-80)."""
+    import random as _random
+    from univid_tpu.data.interleave_datasets import (
+        InterleavedBuilder, UnifiedEditIterableDataset)
+
+    def latent_fn(pix):
+        return np.ascontiguousarray(
+            pix[::8, ::8, :1].repeat(4, -1)).astype(np.float32)
+
+    tf = ImageTransform(32, 16, 16)
+    vtf = ImageTransform(28, 14, 14)
+    rng = np.random.default_rng(0)
+    images = [rng.random((32, 32, 3)).astype(np.float32)
+              for _ in range(3)]
+    records = [{"image_list": images,
+                "instruction_list": [["make it red"], ["rotate it"]]}]
+    ds = UnifiedEditIterableDataset(
+        records, tokenizer=_Tok(), transform=tf, vit_transform=vtf,
+        latent_fn=latent_fn, rng=_random.Random(0))
+    samples = list(ds)
+    assert len(samples) == 1
+    plan = samples[0]["sequence_plan"]
+    # starts with the condition pair: clean vae + vit
+    assert plan[0]["type"] == "vae_image" and plan[0]["loss"] == 0
+    assert plan[1]["type"] == "vit_image"
+    assert plan[2]["type"] == "text"
+    # ends with a noised vae target
+    assert plan[-1] == {"type": "vae_image", "enable_cfg": 0, "loss": 1,
+                        "special_token_loss": 0}
+
+    # video builder: one split, frame_delta carries the rope jumps
+    b = InterleavedBuilder(_Tok(), tf, vtf, latent_fn)
+    data = b.init_data()
+    data = b.add_video(data, images, [0, 4, 9], need_loss=True,
+                       need_vae=False)
+    plans = data["sequence_plan"]
+    assert plans[0]["split_start"] and not plans[0].get("split_end")
+    assert plans[-1]["split_end"] and not plans[-1].get("split_start")
+    assert plans[0]["frame_delta"] == 4 and plans[1]["frame_delta"] == 5
+
+    # packs: the multi-frame split shares one noise timestep and one
+    # attention split
+    from univid_tpu.data.packed_dataset import (PackedDataConfig,
+                                                PackedDataset)
+    data["num_tokens"] = int(data["num_tokens"])
+    packed = PackedDataset(
+        [(lambda: iter([data]), 1.0)],
+        data_config=PackedDataConfig(max_latent_size=8, bos_token_id=190,
+                                     eos_token_id=191, start_of_image=192,
+                                     end_of_image=193),
+        expected_num_tokens=8, max_num_tokens=128)
+    batch = next(iter(packed))
+    ts = batch["packed_timesteps"]
+    assert len(set(ts.tolist())) == 1  # shared timestep across the split

@@ -232,6 +232,16 @@ def flash_attention_padded(
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((b * n, lq, d), q.dtype)
 
+    # scheduling hint: qk^T + pv matmul flops and the dominant q/k/v/o
+    # HBM traffic (helps Mosaic pick pipeline depths)
+    cost_estimate = pl.CostEstimate(
+        flops=4 * b * n * lq * lk * d,
+        bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize
+        + (b * n * lq * d) * qf.dtype.itemsize
+        + (kf.size + vf.size) * qf.dtype.itemsize * (lq // block_q - 1),
+        transcendentals=b * n * lq * lk,
+    )
+
     if has_scalars:
         scalars = jnp.stack([
             (kv_len if has_kv_len else jnp.full((b,), lk)).astype(
@@ -250,6 +260,7 @@ def flash_attention_padded(
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=interpret,
+            cost_estimate=cost_estimate,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
         )(scalars, *inputs)
@@ -262,6 +273,7 @@ def flash_attention_padded(
             out_shape=out_shape,
             scratch_shapes=scratch_shapes,
             interpret=interpret,
+            cost_estimate=cost_estimate,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
         )(*inputs)

@@ -47,6 +47,19 @@ def test_cli_i2v_fusion_multimodal(tmp_path):
     assert res[0]["context_path"] == "bagel_fusion"
 
 
+def test_cli_t2v_moe_route(tmp_path):
+    """--model with moe_boundary routes to WanMoEPipeline (dual-expert
+    A14B path, reference text2video.py:169-201) through the same CLI."""
+    res = inference_main(
+        ["--mode", "t2v", "--no_bagel", "--output_dir", str(tmp_path),
+         "--model", "tiny-moe-t2v", "--mock_weights",
+         "--video_size", "64x64", "--video_length", "9", "--steps", "2",
+         "--prompt", "a red ball bouncing"])
+    assert res[0]["context_path"] == "umt5"
+    frames = read_video_frames(res[0]["video_path"])
+    assert len(frames) == 9 and frames[0].shape == (64, 64, 3)
+
+
 def test_text_encoder_contract():
     """Padded rows zeroed; deterministic per prompt; distinct prompts
     produce distinct contexts (t5.py:506-513 re-pad contract)."""

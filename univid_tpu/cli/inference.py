@@ -103,20 +103,42 @@ def build_pipeline(args):
     from ..pipelines.ti2v import WanTI2VPipeline
 
     spec = WAN_CONFIGS[args.model]
+    moe = spec.moe_boundary is not None
     if args.checkpoint_dir:
-        from ..core.checkpoint import load_wan_checkpoint
-        dit_params, vae_params = load_wan_checkpoint(args.checkpoint_dir,
-                                                     spec)
+        if moe:
+            # A14B ships two expert dirs (reference text2video.py:
+            # low_noise_model/high_noise_model subfolders)
+            from ..core.checkpoint import load_wan_moe_checkpoint
+            dit_params, vae_params = load_wan_moe_checkpoint(
+                args.checkpoint_dir, spec)
+        else:
+            from ..core.checkpoint import load_wan_checkpoint
+            dit_params, vae_params = load_wan_checkpoint(
+                args.checkpoint_dir, spec)
         text_enc = WanTextEncoder.from_checkpoint(args.checkpoint_dir, spec)
     elif args.mock_weights:
-        dit_params = init_wan_dit(jax.random.PRNGKey(0), spec.dit,
-                                  param_dtype=jnp.bfloat16)
+        if moe:
+            dit_params = (
+                init_wan_dit(jax.random.PRNGKey(0), spec.dit,
+                             param_dtype=jnp.bfloat16),
+                init_wan_dit(jax.random.PRNGKey(5), spec.dit,
+                             param_dtype=jnp.bfloat16))
+        else:
+            dit_params = init_wan_dit(jax.random.PRNGKey(0), spec.dit,
+                                      param_dtype=jnp.bfloat16)
         vae_params = init_wan_vae(jax.random.PRNGKey(1), spec.vae,
                                   param_dtype=jnp.bfloat16)
         text_enc = WanTextEncoder.random_init(spec)
     else:
         raise SystemExit("pass --checkpoint_dir or --mock_weights")
-    return WanTI2VPipeline(spec, dit_params, vae_params), spec, text_enc
+
+    if moe:
+        from ..pipelines.moe import WanMoEPipeline
+        pipe = WanMoEPipeline(spec, dit_params[0], dit_params[1],
+                              vae_params)
+    else:
+        pipe = WanTI2VPipeline(spec, dit_params, vae_params)
+    return pipe, spec, text_enc
 
 
 def build_fusion(args, wan_pipe, spec):

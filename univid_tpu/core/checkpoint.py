@@ -498,6 +498,31 @@ def load_wan_checkpoint(checkpoint_dir: str, spec: WanModelSpec,
     return dit_params, vae_params
 
 
+def load_wan_moe_checkpoint(checkpoint_dir: str, spec: WanModelSpec,
+                            dtype=jnp.bfloat16):
+    """((low_params, high_params), vae_params) from an A14B dual-expert
+    checkpoint dir. The reference ships the two experts as
+    low_noise_model/ and high_noise_model/ subfolders
+    (text2video.py:93-116 loads both via WanModel.from_pretrained with
+    subfolder=config.{low,high}_noise_checkpoint)."""
+    low = convert_wan_dit(
+        load_state_dict(os.path.join(checkpoint_dir, "low_noise_model")),
+        spec.dit, dtype)
+    high = convert_wan_dit(
+        load_state_dict(os.path.join(checkpoint_dir, "high_noise_model")),
+        spec.dit, dtype)
+    vae_path = None
+    for cand in ("Wan2.2_VAE.pth", "Wan2.1_VAE.pth", "vae.pth"):
+        p = os.path.join(checkpoint_dir, cand)
+        if os.path.exists(p):
+            vae_path = p
+            break
+    if vae_path is None:
+        raise FileNotFoundError(f"no VAE checkpoint in {checkpoint_dir}")
+    vae_params = convert_wan_vae(load_state_dict(vae_path), spec.vae)
+    return (low, high), vae_params
+
+
 def load_projector_checkpoint(path: str, cfg, dtype=jnp.float32):
     """ContextProjector weights from a reference training_state.pt
     (inference.py:227-236 loads {'context_projector': state_dict}) or a

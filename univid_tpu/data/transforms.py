@@ -35,9 +35,10 @@ def _apply_scale(width: int, height: int, scale: float, stride: int
 
 
 def resize_bilinear(img: np.ndarray, h: int, w: int) -> np.ndarray:
-    """[H, W, C] float -> [h, w, C] (align_corners=False sampling)."""
-    from .openvid import _resize_bilinear
-    return _resize_bilinear(img.astype(np.float32), h, w)
+    """[H, W, C] float -> [h, w, C] (align_corners=False sampling);
+    native C++ fast path with exact numpy fallback."""
+    from ..native import resize_bilinear as _native_resize
+    return _native_resize(np.asarray(img, np.float32), h, w)
 
 
 class MaxLongEdgeMinShortEdgeResize:

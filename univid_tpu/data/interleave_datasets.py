@@ -156,7 +156,11 @@ class UnifiedEditIterableDataset(DistributedIterableDataset):
         for row_idx, row in enumerate(self.paths_per_rank):
             try:
                 data = self.parse_row(row)
-            except Exception:  # noqa: BLE001
+            except Exception as e:  # noqa: BLE001
+                # reference prints and skips malformed rows
+                # (interleave_datasets 'Error {e} in rg#...')
+                print(f"Error {e!r} in unified_edit row#{row_idx}, "
+                      "skipping")
                 continue
             if not data["sequence_plan"]:
                 continue

@@ -65,6 +65,34 @@ def read_video_frames(path: str, num_frames: Optional[int] = None
     raise RuntimeError(f"all video decoders failed for {path}: {errors}")
 
 
+def read_video_fps(path: str, default: float = 30.0) -> float:
+    """Container average fps (decord get_avg_fps / imageio metadata /
+    cv2 CAP_PROP_FPS chain; reference process_pipepline.py:45)."""
+    try:
+        import decord  # type: ignore
+        return float(decord.VideoReader(path).get_avg_fps())
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        import imageio.v3 as iio  # type: ignore
+        meta = iio.immeta(path, plugin="pyav")
+        fps = float(meta.get("fps", 0.0))
+        if fps > 0:
+            return fps
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        import cv2  # type: ignore
+        cap = cv2.VideoCapture(path)
+        fps = float(cap.get(cv2.CAP_PROP_FPS))
+        cap.release()
+        if fps > 0:
+            return fps
+    except Exception:  # noqa: BLE001
+        pass
+    return default
+
+
 def sample_video_frames_uniform(path: str, num_frames: int = 64
                                 ) -> List[np.ndarray]:
     return read_video_frames(path, num_frames=num_frames)

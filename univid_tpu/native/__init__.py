@@ -32,21 +32,35 @@ def _src_path() -> str:
 
 
 def build(verbose: bool = False) -> bool:
-    """Compile host_ops.cc -> libuv_host.so next to this file."""
+    """Compile host_ops.cc -> libuv_host.so next to this file.
+
+    Compiles to a pid-unique temp name and os.rename()s into place so
+    concurrent first-use builds (forked dataloader workers, pytest-xdist)
+    never load a partially written library."""
     src = _src_path()
     if not os.path.exists(src):
         return False
     out = os.path.join(_here, _LIB_NAME)
+    tmp = f"{out}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared",
-           "-std=c++17", src, "-o", out]
+           "-std=c++17", src, "-o", tmp]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True,
                            timeout=120)
-        if verbose and r.returncode != 0:
-            print(r.stderr)
-        return r.returncode == 0
+        if r.returncode != 0:
+            if verbose:
+                print(r.stderr)
+            return False
+        os.rename(tmp, out)  # atomic on POSIX
+        return True
     except Exception:  # noqa: BLE001 — any toolchain failure -> fallback
         return False
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def _load() -> Optional[ctypes.CDLL]:

@@ -37,10 +37,9 @@ def dit_step_flops(spec, params_dit: int, w: int, h: int,
     linear = 2*P*T; self-attn = 4*T^2*D*L; cross-attn = 4*T*Ltext*D*L.
     Used only to report estimated MFU next to the wall-clock number.
     """
+    from univid_tpu.core.config import dit_seq_len
     d = spec.dit
-    vf, vh, vw = spec.vae.stride
-    t = ((frames - 1) // vf + 1) * (h // vh // d.patch_size[1]) * \
-        (w // vw // d.patch_size[2])
+    t = dit_seq_len(spec, w, h, frames)
     lin = 2.0 * params_dit * t
     attn = 4.0 * t * t * d.dim * d.num_layers
     cross = 4.0 * t * d.text_len * d.dim * d.num_layers

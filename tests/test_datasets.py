@@ -187,3 +187,42 @@ def test_unified_edit_dataset_and_video_builder():
     batch = next(iter(packed))
     ts = batch["packed_timesteps"]
     assert len(set(ts.tolist())) == 1  # shared timestep across the split
+
+
+def test_data_status_resume(tmp_path):
+    """data_status resumes iteration after the last consumed row
+    (reference vlm_dataset.py:97-111, dataset_base.py:139-143)."""
+    from PIL import Image
+    for name in ("a.png", "b.png", "c.png", "d.png"):
+        Image.fromarray(np.full((32, 32, 3), 120, np.uint8)).save(
+            str(tmp_path / name))
+    jp = tmp_path / "t2i.jsonl"
+    with open(jp, "w") as f:
+        for name in ("a.png", "b.png", "c.png", "d.png"):
+            f.write(json.dumps({"image": name,
+                                "captions": {"s": f"img {name}"}}) + "\n")
+
+    def latent_fn(pix):
+        return np.ascontiguousarray(
+            pix[::8, ::8, :1].repeat(4, -1)).astype(np.float32)
+
+    kw = dict(transform=ImageTransform(32, 16, 16), tokenizer=_Tok(),
+              latent_fn=latent_fn, image_dir=str(tmp_path))
+    full = list(T2IIterableDataset.from_jsonl(str(jp), **kw))
+    assert [s["data_indexes"]["data_indexes"] for s in full] == [0, 1, 2, 3]
+
+    resumed = list(T2IIterableDataset.from_jsonl(str(jp), data_status=1,
+                                                 **kw))
+    assert [s["data_indexes"]["data_indexes"] for s in resumed] == [2, 3]
+    # resumed rows identical to the tail of the full pass
+    np.testing.assert_array_equal(resumed[0]["image_list"][0],
+                                  full[2]["image_list"][0])
+
+
+def test_debug_flags_env():
+    import jax
+    from univid_tpu.core.debug import apply_debug_flags
+    applied = apply_debug_flags(env={"UNIVID_LOG_COMPILES": "1"})
+    assert applied == {"jax_log_compiles": True}
+    jax.config.update("jax_log_compiles", False)
+    assert apply_debug_flags(env={}) == {}

@@ -59,6 +59,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from ..core.debug import apply_debug_flags
+    apply_debug_flags()
     os.makedirs(args.output_dir, exist_ok=True)
 
     import jax

@@ -135,7 +135,8 @@ class SftJSONLIterableDataset(DistributedIterableDataset):
                  tokenizer, frame_sampler: Optional[FrameSampler] = None,
                  num_used_data: Optional[Sequence[int]] = None,
                  local_rank: int = 0, world_size: int = 1,
-                 shuffle_lines: bool = False, shuffle_seed: int = 0):
+                 shuffle_lines: bool = False, shuffle_seed: int = 0,
+                 data_status=None):
         rows = []
         for i, (jp, img_dir) in enumerate(zip(jsonl_path_list,
                                               image_dir_list)):
@@ -147,7 +148,8 @@ class SftJSONLIterableDataset(DistributedIterableDataset):
             if num_used_data:
                 lines = lines[: num_used_data[i]]
             rows.extend((ln, img_dir) for ln in lines)
-        super().__init__(rows, local_rank, world_size)
+        super().__init__(rows, local_rank, world_size,
+                         data_status=data_status)
         self.transform = transform
         self.tokenizer = tokenizer
         self.frame_sampler = frame_sampler or FrameSampler()
@@ -155,7 +157,7 @@ class SftJSONLIterableDataset(DistributedIterableDataset):
     def __iter__(self) -> Iterator[Dict]:
         from PIL import Image
 
-        for row_idx, (line, image_dir) in enumerate(self.paths_per_rank):
+        for row_idx, (line, image_dir) in self.resume_rows():
             try:
                 item = json.loads(line)
                 raw_images = None
@@ -228,8 +230,9 @@ class T2IIterableDataset(DistributedIterableDataset):
                  tokenizer, latent_fn: Callable[[np.ndarray], np.ndarray],
                  image_dir: str = "", local_rank: int = 0,
                  world_size: int = 1,
-                 rng: Optional[random.Random] = None):
-        super().__init__(list(records), local_rank, world_size)
+                 rng: Optional[random.Random] = None, data_status=None):
+        super().__init__(list(records), local_rank, world_size,
+                         data_status=data_status)
         self.transform = transform
         self.tokenizer = tokenizer
         self.latent_fn = latent_fn
@@ -245,7 +248,7 @@ class T2IIterableDataset(DistributedIterableDataset):
     def __iter__(self) -> Iterator[Dict]:
         from PIL import Image
 
-        for row_idx, rec in enumerate(self.paths_per_rank):
+        for row_idx, rec in self.resume_rows():
             try:
                 if isinstance(rec.get("image"), (bytes, bytearray)):
                     import io

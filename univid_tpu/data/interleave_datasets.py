@@ -114,8 +114,9 @@ class UnifiedEditIterableDataset(DistributedIterableDataset):
                  transform: ImageTransform, vit_transform: ImageTransform,
                  latent_fn: Callable[[np.ndarray], np.ndarray],
                  local_rank: int = 0, world_size: int = 1,
-                 rng: Optional[random.Random] = None):
-        super().__init__(list(records), local_rank, world_size)
+                 rng: Optional[random.Random] = None, data_status=None):
+        super().__init__(list(records), local_rank, world_size,
+                         data_status=data_status)
         self.builder = InterleavedBuilder(tokenizer, transform,
                                           vit_transform, latent_fn)
         self.rng = rng or random.Random(0)
@@ -153,7 +154,7 @@ class UnifiedEditIterableDataset(DistributedIterableDataset):
         return data
 
     def __iter__(self) -> Iterator[Dict]:
-        for row_idx, row in enumerate(self.paths_per_rank):
+        for row_idx, row in self.resume_rows():
             try:
                 data = self.parse_row(row)
             except Exception as e:  # noqa: BLE001

@@ -78,13 +78,18 @@ class PackedDataConfig:
 
 class DistributedIterableDataset:
     """Rank/worker file sharding + epoch shuffle
-    (distributed_iterable_dataset.py:8-58)."""
+    (distributed_iterable_dataset.py:8-58), with checkpoint data resume:
+    `data_status` is the last consumed row index on this rank (the
+    reference threads data_status[worker_id] into each dataset and
+    restarts at row_start_id + 1, vlm_dataset.py:97-111)."""
 
     def __init__(self, paths: Sequence, local_rank: int = 0,
-                 world_size: int = 1):
+                 world_size: int = 1,
+                 data_status: Optional[int] = None):
         self.paths = list(paths)
         self.local_rank = local_rank
         self.world_size = world_size
+        self.data_status = data_status
         self.rng = random.Random()
         self.paths_per_rank: List = list(self.paths)
         # shard immediately (the reference subclasses call set_epoch in
@@ -92,6 +97,17 @@ class DistributedIterableDataset:
         # this every rank would iterate identical data
         if world_size > 1:
             self.set_epoch()
+
+    def resume_rows(self):
+        """enumerate(paths_per_rank) starting after the last consumed
+        row; subclass __iter__ loops drive this so a checkpointed
+        data_status resumes iteration mid-epoch."""
+        start = self.data_status + 1 if self.data_status is not None \
+            else 0
+        if start:
+            print(f"rank-{self.local_rank} "
+                  f"{type(self).__name__}: resuming data at row#{start}")
+        return enumerate(self.paths_per_rank[start:], start=start)
 
     def set_epoch(self, seed: int = 42):
         paths = sorted(self.paths, key=repr)

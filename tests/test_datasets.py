@@ -226,3 +226,35 @@ def test_debug_flags_env():
     assert applied == {"jax_log_compiles": True}
     jax.config.update("jax_log_compiles", False)
     assert apply_debug_flags(env={}) == {}
+
+
+def test_t2i_from_parquet(tmp_path):
+    """Reference parquet layout: image bytes + json-string captions
+    (t2i_dataset.py:55-85)."""
+    import io
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.full((32, 32, 3), 90, np.uint8)).save(buf, "PNG")
+    tbl = pa.table({
+        "image": [buf.getvalue(), buf.getvalue()],
+        "captions": [json.dumps({"short": "a grey square"}),
+                     json.dumps({"short": "another square"})],
+    })
+    pp = str(tmp_path / "shard.parquet")
+    pq.write_table(tbl, pp, row_group_size=1)  # 2 row groups
+
+    def latent_fn(pix):
+        return np.ascontiguousarray(
+            pix[::8, ::8, :1].repeat(4, -1)).astype(np.float32)
+
+    ds = T2IIterableDataset.from_parquet(
+        [pp], transform=ImageTransform(32, 16, 16), tokenizer=_Tok(),
+        latent_fn=latent_fn)
+    samples = list(ds)
+    assert len(samples) == 2
+    for s in samples:
+        assert s["sequence_plan"][1]["type"] == "vae_image"
+        assert s["image_list"][0].dtype == np.float32

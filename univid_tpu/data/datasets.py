@@ -245,6 +245,24 @@ class T2IIterableDataset(DistributedIterableDataset):
             records = [json.loads(l) for l in f if l.strip()]
         return cls(records, **kw)
 
+    @classmethod
+    def from_parquet(cls, parquet_paths: Sequence[str],
+                     **kw) -> "T2IIterableDataset":
+        """Reference parquet layout (t2i_dataset.py:55-85): row groups
+        with `image` (encoded bytes) and `captions` (json-dict string)
+        columns; rows stream through the same bytes/caption handling as
+        jsonl records."""
+        import pyarrow.parquet as pq
+        records = []
+        for path in parquet_paths:
+            fr = pq.ParquetFile(path)
+            for rg in range(fr.num_row_groups):
+                tbl = fr.read_row_group(rg, columns=["image", "captions"])
+                for img, caps in zip(tbl.column("image").to_pylist(),
+                                     tbl.column("captions").to_pylist()):
+                    records.append({"image": img, "captions": caps})
+        return cls(records, **kw)
+
     def __iter__(self) -> Iterator[Dict]:
         from PIL import Image
 

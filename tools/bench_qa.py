@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""VQA-side throughput bench (BASELINE.md target: "VQA clips/sec").
+
+Measures the two Pyramid Reflection hot paths on the current device:
+  * scorer: SigLIP2 dual-tower frame ranking over a 64-frame pool at the
+    so400m shape the reference loads (eval_understanding.py:171-206) —
+    random weights, REAL compute shape.
+  * caption: vmapped batch frame captioning (ViT append -> prefill ->
+    AR decode) through the Qwen2-MoT stack at a stated LM scale
+    (default 1.5B-class so it fits one v5e with MoT expert twins;
+    BAGEL-7B needs the fsdp/tp sharding path and >1 chip).
+
+Prints one JSON line. Not driver-facing (the driver contract is
+bench.py); run manually: `python tools/bench_qa.py`.
+
+Env knobs: QA_FRAMES (pool size, default 64), QA_CAP_FRAMES (captioned
+seed frames, default 16), QA_MAX_TOKENS (default 32), QA_LM_LAYERS /
+QA_LM_HIDDEN to rescale the LM leg.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_scorer(n_frames: int):
+    from univid_tpu.models.bagel.siglip import SiglipConfig
+    from univid_tpu.reflection.scorer import Siglip2Scorer, \
+        SiglipTextConfig
+    from univid_tpu.utils.tokenizers import HashTokenizer
+
+    # SigLIP2 so400m shapes (vision 27L/1152d, text 27L/1152d)
+    vcfg = SiglipConfig(hidden_size=1152, intermediate_size=4304,
+                        num_layers=27, num_heads=16, patch_size=14,
+                        image_size=224)
+    tcfg = SiglipTextConfig(hidden_size=1152, intermediate_size=4304,
+                            num_layers=27, num_heads=16)
+    scorer = Siglip2Scorer(vision_cfg=vcfg, text_cfg=tcfg,
+                           tokenizer=HashTokenizer(vocab_size=32000))
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (224, 224, 3), np.uint8)
+              for _ in range(n_frames)]
+    scorer.rank_frames(frames, "warmup question", topk=16)  # compile
+    t0 = time.perf_counter()
+    reps = 3
+    for i in range(reps):
+        scorer.rank_frames(frames, f"what happens in round {i}?",
+                           topk=16)
+    dt = (time.perf_counter() - t0) / reps
+    return {"rank_frames_per_s": round(n_frames / dt, 1),
+            "rank_pool_s": round(dt, 3), "vision": "so400m-27L-1152d"}
+
+
+def bench_caption(n_frames: int, max_tokens: int):
+    from univid_tpu.models.bagel.bagel import BagelConfig, init_bagel
+    from univid_tpu.models.bagel.qwen2_mot import Qwen2MoTConfig
+    from univid_tpu.models.bagel.siglip import SiglipConfig, init_siglip
+    from univid_tpu.pipelines.interleave import InterleaveInferencer
+    from univid_tpu.utils.tokenizers import HashTokenizer
+
+    layers = int(os.environ.get("QA_LM_LAYERS", "28"))
+    hidden = int(os.environ.get("QA_LM_HIDDEN", "1536"))
+    llm = Qwen2MoTConfig(vocab_size=32000, hidden_size=hidden,
+                         intermediate_size=hidden * 4, num_layers=layers,
+                         num_heads=hidden // 128, num_kv_heads=2)
+    cfg = BagelConfig(llm=llm, vit_hidden_size=1152, vit_patch_size=14,
+                      start_of_image=31990, end_of_image=31991,
+                      bos_token_id=31992, eos_token_id=31993)
+    scfg = SiglipConfig(hidden_size=1152, intermediate_size=4304,
+                        num_layers=27, num_heads=16, patch_size=14,
+                        image_size=224)
+    params = init_bagel(jax.random.PRNGKey(0), cfg,
+                        param_dtype=jnp.bfloat16)
+    sig = init_siglip(jax.random.PRNGKey(1), scfg,
+                      param_dtype=jnp.bfloat16)
+    inf = InterleaveInferencer(params, cfg,
+                               HashTokenizer(vocab_size=31990),
+                               siglip_params=sig, siglip_cfg=scfg,
+                               compute_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(1)
+    frames = [jnp.asarray(rng.integers(0, 255, (224, 224, 3), np.uint8))
+              for _ in range(n_frames)]
+    kw = dict(max_length=max_tokens, do_sample=False)
+    inf.caption_frames(frames, "Describe this frame briefly.", **kw)
+    t0 = time.perf_counter()
+    inf.caption_frames(frames, "What is happening here?", **kw)
+    dt = time.perf_counter() - t0
+    from univid_tpu.core import nn as unn
+    return {"caption_frames_per_s": round(n_frames / dt, 2),
+            "caption_tokens_per_s": round(n_frames * max_tokens / dt, 1),
+            "lm_params": unn.count_params(params),
+            "lm_scale": f"{layers}L-{hidden}d-MoT"}
+
+
+def main():
+    n_frames = int(os.environ.get("QA_FRAMES", "64"))
+    cap_frames = int(os.environ.get("QA_CAP_FRAMES", "16"))
+    max_tokens = int(os.environ.get("QA_MAX_TOKENS", "32"))
+    detail = {"device": str(jax.devices()[0]),
+              "backend": jax.default_backend()}
+    detail["scorer"] = bench_scorer(n_frames)
+    if os.environ.get("QA_CAPTION", "1") != "0":
+        detail["caption"] = bench_caption(cap_frames, max_tokens)
+    print(json.dumps({"metric": f"qa_rank{n_frames}_caption{cap_frames}",
+                      "detail": detail}))
+
+
+if __name__ == "__main__":
+    main()

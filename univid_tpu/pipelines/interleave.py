@@ -183,32 +183,39 @@ class InterleaveInferencer:
         if fn is None:
             scfg = self.siglip_cfg
 
-            def one(patches_i, pos_i, segs_i, n_i, ids_i, rng_i):
+            # params/siglip_params are jit ARGUMENTS (vmapped None axes),
+            # not closure captures — capturing bakes the full weight
+            # pytree into the lowered module as constants (GBs at real
+            # scale: slow lowering + duplicated device memory)
+            def one(params, sig_params, patches_i, pos_i, segs_i, n_i,
+                    ids_i, rng_i):
                 ctx = init_gen_context(self.cfg, cap,
                                        dtype=jnp.bfloat16
                                        if self.dtype == jnp.bfloat16
                                        else jnp.float32)
-                feats = siglip_forward(self.siglip_params, scfg,
+                feats = siglip_forward(sig_params, scfg,
                                        patches_i, pos_i,
                                        segment_ids=segs_i,
                                        compute_dtype=self.dtype)
-                ctx = update_context_vit(self.params, self.cfg, ctx,
+                ctx = update_context_vit(params, self.cfg, ctx,
                                          feats, pos_i,
                                          compute_dtype=self.dtype,
                                          n_valid=n_i)
-                ctx = update_context_text(self.params, self.cfg, ctx,
+                ctx = update_context_text(params, self.cfg, ctx,
                                           ids_i, compute_dtype=self.dtype)
                 tokens, length = generate_text(
-                    self.params, self.cfg, ctx, max_length=max_length,
+                    params, self.cfg, ctx, max_length=max_length,
                     do_sample=do_sample, temperature=temperature,
                     end_token_id=self.cfg.eos_token_id, rng=rng_i,
                     compute_dtype=self.dtype)
                 return tokens, length
 
-            fn = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, None, 0)))
+            fn = jax.jit(jax.vmap(
+                one, in_axes=(None, None, 0, 0, 0, 0, None, 0)))
             self._caption_jit_cache[key] = fn
 
-        tokens, lengths = fn(patches, pos, segs, ns, ids, rngs)
+        tokens, lengths = fn(self.params, self.siglip_params, patches,
+                             pos, segs, ns, ids, rngs)
         outs = []
         for row, ln in zip(np.asarray(tokens), np.asarray(lengths)):
             toks = [int(t) for t in row[: int(ln)]

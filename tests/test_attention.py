@@ -122,3 +122,101 @@ def test_pallas_kernel_dynamic_q_offsets():
                                  interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Backward-kernel grad parity (interpret mode) vs jax.grad of mha_reference
+# ---------------------------------------------------------------------------
+
+import jax
+
+from univid_tpu.kernels.attention import (
+    attention, pack_mask_codes, set_attention_backend)
+from univid_tpu.kernels import flash_attention as fa
+
+
+def _grad_case(mode, b=2, lq=256, lk=256, n=2, d=64, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((b, lq, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, lk, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, lk, n, d)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, lq, n, d)), jnp.float32)
+    kw = {}
+    if mode == "causal":
+        kw["causal"] = True
+    elif mode == "kv_len":
+        kw["kv_len"] = jnp.asarray([130, lk], jnp.int32)
+    elif mode == "causal_kv_len":
+        kw["causal"] = True
+        kw["kv_len"] = jnp.asarray([130, lk], jnp.int32)
+    elif mode == "segments":
+        qs = np.zeros((b, lq), np.int32)
+        qs[:, lq // 2:] = 1
+        ks = np.zeros((b, lk), np.int32)
+        ks[:, lk // 3:] = 1
+        kw["q_segments"] = jnp.asarray(qs)
+        kw["kv_segments"] = jnp.asarray(ks)
+    elif mode == "packed":
+        # two documents; second has a full-attn (vit-like) span and a noise
+        # span — the BAGEL packed-training mask
+        doc = np.zeros((b, lq), np.int32)
+        doc[:, lq // 2:] = 1
+        fn = np.full((b, lq), -1, np.int32)
+        fn[:, lq // 2:lq // 2 + 40] = 0
+        nz = np.full((b, lq), -1, np.int32)
+        nz[:, -30:] = 0
+        codes = pack_mask_codes(doc, fn, nz)
+        kw["q_segments"] = codes
+        kw["kv_segments"] = codes
+        kw["packed_mode"] = True
+    return q, k, v, g, kw
+
+
+@pytest.mark.parametrize(
+    "mode", ["full", "causal", "kv_len", "causal_kv_len", "segments",
+             "packed"])
+def test_flash_backward_grad_parity(mode):
+    """Pallas dq/dkv kernels (interpret) == jax.grad of the XLA reference."""
+    q, k, v, g, kw = _grad_case(mode)
+
+    def ref_loss(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, **kw) * g)
+
+    dq_ref, dk_ref, dv_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+
+    o, lse = flash_attention_padded(
+        q, k, v, block_q=128, block_k=128, interpret=True,
+        save_residuals=True, **kw)
+    dq, dk, dv = fa.flash_attention_bwd_padded(
+        q, k, v, o, lse, g, block_q=128, block_k=128, interpret=True, **kw)
+
+    for got, ref, name in ((dq, dq_ref, "dq"), (dk, dk_ref, "dk"),
+                           (dv, dv_ref, "dv")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_attention_custom_vjp_wiring_with_padding():
+    """attention() on the pallas backend is differentiable end-to-end,
+    including the pad/unpad adjoint for non-block-multiple lengths."""
+    q, k, v, g, _ = _grad_case("full", b=1, lq=100, lk=150, n=2, d=32)
+    kvl = jnp.asarray([150], jnp.int32)
+
+    def loss(backend):
+        set_attention_backend(backend)
+        try:
+            def f(q, k, v):
+                return jnp.sum(attention(q, k, v, kv_len=kvl) * g)
+            return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        finally:
+            set_attention_backend(None)
+
+    fa.set_interpret_mode(True)
+    try:
+        got = loss("pallas")
+    finally:
+        fa.set_interpret_mode(False)
+    ref = loss("xla")
+    for a, b_, name in zip(got, ref, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-3, err_msg=name)

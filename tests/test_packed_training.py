@@ -187,3 +187,43 @@ def test_distributed_iterable_sharding():
     assert len(a) == len(b) == 4
     assert not set(a) & set(b)
     assert set(a) | set(b) == set(paths)
+
+
+def test_freeze_und_zeroes_und_expert_grads():
+    """freeze_und=True (reference qwen2_navit.py freeze_und detach points)
+    => und-expert weights receive EXACTLY zero gradient from the gen
+    (MSE) objective, while gen-expert weights still train."""
+    scfg = SiglipConfig(hidden_size=16, intermediate_size=32, num_layers=1,
+                        num_heads=2, patch_size=2, image_size=16)
+    params = init_bagel(jax.random.PRNGKey(0), TINY)
+    params["llm2vae"]["w"] = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(9), params["llm2vae"]["w"].shape)
+    sig = init_siglip(jax.random.PRNGKey(1), scfg)
+    s1, s2 = _samples()
+    np.random.seed(123)
+    b = _make_sample_batch(params, scfg, sig, [s1, s2])
+    b = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+         for k, v in b.items()}
+
+    def loss(p, freeze):
+        out = bagel_packed_forward(p, TINY, b, rng=jax.random.PRNGKey(7),
+                                   siglip_params=sig, siglip_cfg=scfg,
+                                   compute_dtype=jnp.float32,
+                                   freeze_und=freeze)
+        return jnp.sum(out["mse"])
+
+    g_frozen = jax.grad(lambda p: loss(p, True))(params)
+    g_free = jax.grad(lambda p: loss(p, False))(params)
+
+    layers = g_frozen["llm"]["layers"]
+    for name in ("q", "k", "v", "o"):
+        assert float(jnp.max(jnp.abs(layers["attn"][name]["w"]))) == 0.0, \
+            f"und attn.{name} grad leaked under freeze_und"
+        assert float(jnp.max(jnp.abs(
+            g_free["llm"]["layers"]["attn"][name]["w"]))) > 0.0
+    for name in ("gate", "up", "down"):
+        assert float(jnp.max(jnp.abs(layers["mlp"][name]["w"]))) == 0.0
+    assert float(jnp.max(jnp.abs(g_frozen["llm"]["norm"]))) == 0.0
+    # gen experts still train under freeze_und
+    assert float(jnp.max(jnp.abs(layers["attn_gen"]["q"]["w"]))) > 0.0
+    assert float(jnp.max(jnp.abs(layers["mlp_gen"]["gate"]["w"]))) > 0.0

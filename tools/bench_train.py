@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark the diffusion/LoRA training step at real video resolution.
+
+The reference trains its fusion adapter through flash-attn at full
+resolution (model_pipeline.py:2765-3142 via qwen2_navit.py:579 /
+wan attention.py:94-127). This measures the TPU equivalent: one
+`make_diffusion_train_step` step (LoRA-merged DiT forward + Pallas
+flash-attention backward + AdamW update) on synthetic latents.
+
+Env knobs: BENCH_MODEL (t2v-1.3B), BENCH_W/BENCH_H/BENCH_FRAMES
+(default 832x480x81 — the full reference operating point for the 1.3B),
+BENCH_TRAIN_STEPS measured steps (default 3).
+
+Prints ONE JSON line {train_step_ms, tokens, resolution, ...}.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from univid_tpu.core.config import (WAN_CONFIGS, FusionConfig,
+                                        dit_seq_len, latent_shape)
+    from univid_tpu.train.fusion_trainer import (
+        FusionTrainConfig, init_fusion_train_state,
+        make_diffusion_train_step, make_fusion_optimizer)
+    from univid_tpu.train.lora import LoRAConfig
+
+    model = os.environ.get("BENCH_MODEL", "t2v-1.3B")
+    w = int(os.environ.get("BENCH_W", "832"))
+    h = int(os.environ.get("BENCH_H", "480"))
+    frames = int(os.environ.get("BENCH_FRAMES", "81"))
+    n_steps = int(os.environ.get("BENCH_TRAIN_STEPS", "3"))
+
+    spec = WAN_CONFIGS[model]
+    fusion_cfg = FusionConfig(wan_text_dim=spec.dit.text_dim,
+                              wan_text_length=spec.dit.text_len)
+    train_cfg = FusionTrainConfig(train_lora=True)
+    _, f, lh, lw = latent_shape(spec, w, h, frames)
+
+    key = jax.random.PRNGKey(0)
+    from univid_tpu.models.wan.dit import init_wan_dit
+    dit_params = init_wan_dit(key, spec.dit, param_dtype=jnp.bfloat16)
+
+    state, tx, lora_template = init_fusion_train_state(
+        jax.random.PRNGKey(1), fusion_cfg, train_cfg, dit_cfg=spec.dit,
+        lora_cfg=LoRAConfig())
+    step, _ = make_diffusion_train_step(
+        spec, fusion_cfg, train_cfg, tx, dit_params, None, (f, lh, lw),
+        lora_template=lora_template, remat_blocks=True)
+
+    c = spec.vae.z_dim
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(2),
+                                     (1, f, lh, lw, c), jnp.bfloat16),
+        "bagel_tokens": jax.random.normal(
+            jax.random.PRNGKey(3),
+            (1, fusion_cfg.bagel_sequence_length,
+             fusion_cfg.bagel_hidden_dim), jnp.bfloat16),
+        "noise": jax.random.normal(jax.random.PRNGKey(4),
+                                   (1, f, lh, lw, c), jnp.bfloat16),
+        "t": jnp.asarray([500.0], jnp.float32),
+    }
+
+    state, loss = step(state, batch)   # compile
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, loss = step(state, batch)
+    jax.block_until_ready(state)
+    per_step = (time.perf_counter() - t0) / n_steps
+
+    tokens = dit_seq_len(spec, w, h, frames)
+    print(json.dumps({
+        "train_step_ms": round(per_step * 1e3, 1),
+        "loss": float(loss),
+        "tokens": tokens,
+        "resolution": f"{w}x{h}x{frames}f",
+        "model": model,
+        "latent_grid": [f, lh, lw],
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

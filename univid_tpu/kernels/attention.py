@@ -20,8 +20,9 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from .flash_attention import flash_attention_padded
+from .flash_attention import flash_attention_padded, flash_attention_bwd_padded
 
 _FORCE_BACKEND: Optional[str] = None
 
@@ -108,6 +109,60 @@ def mha_reference(q, k, v, *, causal=False, q_offset=0, kv_len=None,
     return o.astype(q.dtype)
 
 
+def _zero_cot(x):
+    """Cotangent for a non-differentiable array arg: float0 zeros for int
+    arrays (required by custom_vjp), zeros_like for float arrays, None for
+    absent args."""
+    if x is None:
+        return None
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.zeros_like(x)
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+def _flash(q, k, v, kv_len, q_segments, kv_segments, q_offsets,
+           causal, q_offset, softmax_scale, block_q, block_k, packed_mode):
+    """Differentiable Pallas flash attention over PADDED inputs.
+
+    Forward = the plain kernel; the VJP rule re-runs the forward with
+    save_residuals to capture the exp2-domain lse, then runs the recompute-p
+    dq / dkv Pallas backward kernels — giving training paths the same O(L)
+    memory the reference gets from flash-attn varlen's backward
+    (BAGEL qwen2_navit.py:579-588, wan attention.py:94-127)."""
+    return flash_attention_padded(
+        q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len,
+        q_segments=q_segments, kv_segments=kv_segments,
+        softmax_scale=softmax_scale, block_q=block_q, block_k=block_k,
+        packed_mode=packed_mode, q_offsets=q_offsets)
+
+
+def _flash_fwd(q, k, v, kv_len, q_segments, kv_segments, q_offsets,
+               causal, q_offset, softmax_scale, block_q, block_k,
+               packed_mode):
+    o, lse = flash_attention_padded(
+        q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len,
+        q_segments=q_segments, kv_segments=kv_segments,
+        softmax_scale=softmax_scale, block_q=block_q, block_k=block_k,
+        packed_mode=packed_mode, q_offsets=q_offsets, save_residuals=True)
+    return o, (q, k, v, o, lse, kv_len, q_segments, kv_segments, q_offsets)
+
+
+def _flash_bwd(causal, q_offset, softmax_scale, block_q, block_k,
+               packed_mode, res, g):
+    q, k, v, o, lse, kv_len, q_segments, kv_segments, q_offsets = res
+    dq, dk, dv = flash_attention_bwd_padded(
+        q, k, v, o, lse, g, causal=causal, q_offset=q_offset, kv_len=kv_len,
+        q_segments=q_segments, kv_segments=kv_segments,
+        softmax_scale=softmax_scale, packed_mode=packed_mode,
+        q_offsets=q_offsets)
+    return (dq, dk, dv, _zero_cot(kv_len), _zero_cot(q_segments),
+            _zero_cot(kv_segments), _zero_cot(q_offsets))
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
 def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
               q_segments=None, kv_segments=None, softmax_scale=None,
               block_q=None, block_k=None, packed_mode=False,
@@ -159,9 +214,7 @@ def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
                                   ((0, 0), (0, lk_pad - lk)),
                                   constant_values=-2)
 
-    o = flash_attention_padded(
-        q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len,
-        q_segments=q_segments, kv_segments=kv_segments,
-        softmax_scale=softmax_scale, block_q=block_q, block_k=block_k,
-        packed_mode=packed_mode, q_offsets=q_offsets)
+    o = _flash(q, k, v, kv_len, q_segments, kv_segments, q_offsets,
+               causal, q_offset, softmax_scale, block_q, block_k,
+               packed_mode)
     return o[:, :lq]

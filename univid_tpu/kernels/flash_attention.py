@@ -29,6 +29,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# module-wide interpret-mode default (per-call `interpret=` overrides when
+# not None): lets CPU CI exercise the full custom_vjp wiring in
+# .attention without real TPU hardware
+_INTERPRET = False
+
+
+def set_interpret_mode(on: bool):
+    global _INTERPRET
+    _INTERPRET = bool(on)
+
 
 def _flash_kernel(
     # refs (the optional [2, B] scalar-prefetch — kv_len row 0, dynamic
@@ -44,6 +54,7 @@ def _flash_kernel(
     has_q_offsets: bool,
     has_segments: bool,
     packed_mode: bool,
+    save_residuals: bool,
 ):
     idx = 0
     scalar_ref = None
@@ -57,7 +68,12 @@ def _flash_kernel(
         qseg_ref, kseg_ref = refs[idx:idx + 2]
         idx += 2
     o_ref = refs[idx]
-    m_scr, l_scr, acc_scr = refs[idx + 1:idx + 4]
+    idx += 1
+    lse_ref = None
+    if save_residuals:
+        lse_ref = refs[idx]
+        idx += 1
+    m_scr, l_scr, acc_scr = refs[idx:idx + 3]
 
     i_q = pl.program_id(1)
     i_k = pl.program_id(2)
@@ -141,6 +157,15 @@ def _flash_kernel(
         l = l_scr[:, :1]
         inv = jnp.where(l > 0.0, 1.0 / jnp.where(l > 0.0, l, 1.0), 0.0)
         o_ref[0] = (acc_scr[:] * inv).astype(o_ref.dtype)
+        if save_residuals:
+            # log-sum-exp in the exp2 domain: p_ij = exp2(t_ij - lse_i) in
+            # the backward recompute. Fully-masked rows (l == 0) store a
+            # large POSITIVE sentinel so exp2(t - lse) underflows to 0
+            # instead of producing inf/nan.
+            lf = l_scr[:]
+            lse_ref[0] = jnp.where(
+                lf > 0.0, m_scr[:] + jnp.log2(jnp.where(lf > 0.0, lf, 1.0)),
+                jnp.float32(-NEG_INF))
 
 
 def flash_attention_padded(
@@ -156,10 +181,13 @@ def flash_attention_padded(
     softmax_scale: Optional[float] = None,
     block_q: int = 256,
     block_k: int = 512,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
     packed_mode: bool = False,
     q_offsets: Optional[jnp.ndarray] = None,    # [B] int32 dynamic causal
+    save_residuals: bool = False,
 ) -> jnp.ndarray:
+    if interpret is None:
+        interpret = _INTERPRET
     b, lq, n, d = q.shape
     lk = k.shape[1]
     block_q = min(block_q, lq)
@@ -220,7 +248,7 @@ def flash_attention_padded(
         num_heads=n, block_q=block_q, block_k=block_k, causal=causal,
         q_offset=q_offset, has_scalars=has_scalars, has_kv_len=has_kv_len,
         has_q_offsets=has_q_offsets, has_segments=has_segments,
-        packed_mode=packed_mode)
+        packed_mode=packed_mode, save_residuals=save_residuals)
 
     scratch_shapes = [
         pltpu.VMEM((block_q, 128), jnp.float32),  # running max
@@ -231,6 +259,15 @@ def flash_attention_padded(
     out_spec = pl.BlockSpec((1, block_q, d), lambda ibn, iq, ik, *_: (ibn, iq, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((b * n, lq, d), q.dtype)
+    if save_residuals:
+        # lse in the lane-broadcast [B*N, Lq, 128] layout so the backward
+        # kernels read per-row stats as [bq, 128] tiles without transposes
+        # (same layout JAX's own TPU flash kernel uses for l/m).
+        out_spec = (out_spec, pl.BlockSpec(
+            (1, block_q, 128), lambda ibn, iq, ik, *_: (ibn, iq, 0),
+            memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((b * n, lq, 128), jnp.float32))
 
     # scheduling hint: qk^T + pv matmul flops and the dominant q/k/v/o
     # HBM traffic (helps Mosaic pick pipeline depths)
@@ -278,4 +315,404 @@ def flash_attention_padded(
                 dimension_semantics=("parallel", "parallel", "arbitrary")),
         )(*inputs)
 
+    if save_residuals:
+        out, lse = out
+        return out.reshape(b, n, lq, d).transpose(0, 2, 1, 3), lse
     return out.reshape(b, n, lq, d).transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Backward (recompute-p flavor, FlashAttention-2 style)
+#
+# The reference trains through flash-attn varlen (BAGEL
+# qwen2_navit.py:579-588, models/wan/utils/modules/attention.py:94-127);
+# these kernels give the TPU training paths the same O(L) memory property.
+#
+# Two kernels, both re-deriving p from the saved exp2-domain lse:
+#   dq  — grid (B*N, q_blocks, kv_blocks), kv innermost:  dq_i = s·Σ dS·k
+#   dkv — grid (B*N, kv_blocks, q_blocks), q  innermost:  dv_j = Σ pᵀ·dO,
+#                                                         dk_j = s·Σ dSᵀ·q
+# with dS = p ⊙ (dO·vᵀ − Δ), Δ_i = Σ_d dO_id·O_id. Δ is recomputed from the
+# already-resident O/dO tiles (O(bq·d) VPU work per step — cheaper than a
+# 128-lane-broadcast delta array in HBM). q arrives pre-scaled by
+# scale·log2(e) (shared with the forward's fold), so dq needs a final ×scale
+# and dk a final ×ln(2) to refer gradients back to the RAW q/k inputs.
+# ---------------------------------------------------------------------------
+
+
+def _mask_scores(s, i_q, i_k, b, *, block_q, block_k, causal, q_offset,
+                 scalar_ref, has_kv_len, has_q_offsets, qseg_ref, kseg_ref,
+                 packed_mode):
+    """Shared mask predicate — must match `_flash_kernel` exactly."""
+    col = i_k * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1)
+    if causal:
+        row = i_q * block_q + q_offset + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        if has_q_offsets:
+            row = row + scalar_ref[1, b]
+        s = jnp.where(col <= row, s, NEG_INF)
+    if has_kv_len:
+        s = jnp.where(col < scalar_ref[0, b], s, NEG_INF)
+    if qseg_ref is not None:
+        qs = qseg_ref[0]  # [bq, 128]
+        ks = kseg_ref[0]  # [8, bk]
+        qs_full = jnp.tile(qs, (1, block_k // 128))
+        ks_row = ks[:1, :]
+        if packed_mode:
+            row = i_q * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            doc_q, doc_k = qs_full >> 16, ks_row >> 16
+            fn_q, fn_k = (qs_full >> 8) & 0xFF, (ks_row >> 8) & 0xFF
+            nz_q, nz_k = qs_full & 0xFF, ks_row & 0xFF
+            allowed = ((row >= col) | ((fn_q == fn_k) & (fn_q > 0))) \
+                & (~((nz_k > 0) & (nz_q != nz_k))) & (doc_q == doc_k)
+            s = jnp.where(allowed, s, NEG_INF)
+        else:
+            s = jnp.where(qs_full == ks_row, s, NEG_INF)
+    return s
+
+
+def _flash_bwd_dq_kernel(
+    *refs,
+    num_heads: int,
+    block_q: int,
+    block_k: int,
+    causal: bool,
+    q_offset: int,
+    softmax_scale: float,
+    has_scalars: bool,
+    has_kv_len: bool,
+    has_q_offsets: bool,
+    has_segments: bool,
+    packed_mode: bool,
+):
+    idx = 0
+    scalar_ref = None
+    if has_scalars:
+        scalar_ref = refs[idx]
+        idx += 1
+    q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref = refs[idx:idx + 6]
+    idx += 6
+    qseg_ref = kseg_ref = None
+    if has_segments:
+        qseg_ref, kseg_ref = refs[idx:idx + 2]
+        idx += 2
+    dq_ref = refs[idx]
+    acc_scr = refs[idx + 1]
+
+    i_q = pl.program_id(1)
+    i_k = pl.program_id(2)
+    nk = pl.num_programs(2)
+    b = pl.program_id(0) // num_heads
+
+    @pl.when(i_k == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    run = True
+    if causal and not has_q_offsets:
+        run = i_k * block_k < i_q * block_q + q_offset + block_q
+
+    @pl.when(run)
+    def _compute():
+        qs = q_ref[0]   # [bq, d], pre-scaled by scale*log2(e)
+        k = k_ref[0]    # [bk, d]
+        v = v_ref[0]
+        do = do_ref[0]  # [bq, d]
+        o = o_ref[0]
+
+        t = jax.lax.dot_general(
+            qs, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [bq, bk]
+        t = _mask_scores(
+            t, i_q, i_k, b, block_q=block_q, block_k=block_k, causal=causal,
+            q_offset=q_offset, scalar_ref=scalar_ref, has_kv_len=has_kv_len,
+            has_q_offsets=has_q_offsets, qseg_ref=qseg_ref,
+            kseg_ref=kseg_ref, packed_mode=packed_mode)
+        p = jnp.exp2(t - lse_ref[0][:, :1])      # [bq, bk]
+
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [bq, bk]
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1, keepdims=True)  # [bq, 1]
+        ds = p * (dp - delta)
+        acc_scr[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(i_k == nk - 1)
+    def _finish():
+        dq_ref[0] = (acc_scr[:] * softmax_scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    *refs,
+    num_heads: int,
+    block_q: int,
+    block_k: int,
+    causal: bool,
+    q_offset: int,
+    softmax_scale: float,
+    has_scalars: bool,
+    has_kv_len: bool,
+    has_q_offsets: bool,
+    has_segments: bool,
+    packed_mode: bool,
+):
+    idx = 0
+    scalar_ref = None
+    if has_scalars:
+        scalar_ref = refs[idx]
+        idx += 1
+    q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref = refs[idx:idx + 6]
+    idx += 6
+    qseg_ref = kseg_ref = None
+    if has_segments:
+        qseg_ref, kseg_ref = refs[idx:idx + 2]
+        idx += 2
+    dk_ref, dv_ref = refs[idx:idx + 2]
+    dk_scr, dv_scr = refs[idx + 2:idx + 4]
+
+    i_k = pl.program_id(1)
+    i_q = pl.program_id(2)
+    nq = pl.num_programs(2)
+    b = pl.program_id(0) // num_heads
+
+    @pl.when(i_q == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    run = True
+    if causal and not has_q_offsets:
+        # a q block contributes iff its causal-live region intersects this
+        # kv block: last row (iq*bq + q_offset + bq - 1) >= first col
+        run = i_q * block_q + q_offset + block_q > i_k * block_k
+
+    @pl.when(run)
+    def _compute():
+        qs = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        o = o_ref[0]
+
+        t = jax.lax.dot_general(
+            qs, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [bq, bk]
+        t = _mask_scores(
+            t, i_q, i_k, b, block_q=block_q, block_k=block_k, causal=causal,
+            q_offset=q_offset, scalar_ref=scalar_ref, has_kv_len=has_kv_len,
+            has_q_offsets=has_q_offsets, qseg_ref=qseg_ref,
+            kseg_ref=kseg_ref, packed_mode=packed_mode)
+        p = jnp.exp2(t - lse_ref[0][:, :1])
+
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1, keepdims=True)
+        ds = p * (dp - delta)
+
+        # pᵀ·dO and dSᵀ·q via contracting dim 0 — no explicit transposes
+        dv_scr[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_scr[:] += jax.lax.dot_general(
+            ds.astype(qs.dtype), qs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(i_q == nq - 1)
+    def _finish():
+        # dk was accumulated against the PRE-SCALED q (qs = q·scale·log2e);
+        # dk_raw = scale · dSᵀ·q = dSᵀ·qs / log2(e) = ln(2) · dSᵀ·qs
+        dk_ref[0] = (dk_scr[:] * math.log(2.0)).astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _pick_block(length: int, pref: int) -> int:
+    for c in (pref, 1024, 512, 256, 128):
+        if c <= length and length % c == 0:
+            return c
+    return length
+
+
+def flash_attention_bwd_padded(
+    q: jnp.ndarray,    # [B, Lq, N, D] RAW (unscaled), Lq % 128 == 0
+    k: jnp.ndarray,    # [B, Lk, N, D]
+    v: jnp.ndarray,
+    o: jnp.ndarray,    # forward output [B, Lq, N, D]
+    lse: jnp.ndarray,  # [B*N, Lq, 128] exp2-domain lse from the forward
+    do: jnp.ndarray,   # output cotangent [B, Lq, N, D]
+    *,
+    causal: bool = False,
+    q_offset: int = 0,
+    kv_len: Optional[jnp.ndarray] = None,
+    q_segments: Optional[jnp.ndarray] = None,
+    kv_segments: Optional[jnp.ndarray] = None,
+    softmax_scale: Optional[float] = None,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: Optional[bool] = None,
+    packed_mode: bool = False,
+    q_offsets: Optional[jnp.ndarray] = None,
+):
+    if interpret is None:
+        interpret = _INTERPRET
+    b, lq, n, d = q.shape
+    lk = k.shape[1]
+    block_q = _pick_block(lq, block_q)
+    block_k = _pick_block(lk, block_k)
+    assert not (packed_mode and (q_offset != 0 or q_offsets is not None)), \
+        "packed_mode does not support q offsets"
+    if softmax_scale is None:
+        softmax_scale = 1.0 / math.sqrt(d)
+    qs = q * jnp.asarray(softmax_scale * math.log2(math.e), q.dtype)
+
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * n, x.shape[1], d)
+
+    qf, kf, vf, dof, of = fold(qs), fold(k), fold(v), fold(do), fold(o)
+
+    has_segments = q_segments is not None
+    seg_inputs = []
+    if has_segments:
+        assert kv_segments is not None
+        qseg = jax.lax.broadcast_in_dim(
+            q_segments.astype(jnp.int32), (b, lq, 128), (0, 1))
+        kseg = jax.lax.broadcast_in_dim(
+            kv_segments.astype(jnp.int32), (b, 8, lk), (0, 2))
+        seg_inputs = [qseg, kseg]
+
+    has_kv_len = kv_len is not None
+    has_q_offsets = q_offsets is not None
+    has_scalars = has_kv_len or has_q_offsets
+    scalars = None
+    if has_scalars:
+        scalars = jnp.stack([
+            (kv_len if has_kv_len else jnp.full((b,), lk)).astype(jnp.int32),
+            (q_offsets if has_q_offsets else jnp.zeros((b,))).astype(
+                jnp.int32)])
+
+    common = dict(
+        num_heads=n, block_q=block_q, block_k=block_k, causal=causal,
+        q_offset=q_offset, softmax_scale=softmax_scale,
+        has_scalars=has_scalars, has_kv_len=has_kv_len,
+        has_q_offsets=has_q_offsets, has_segments=has_segments,
+        packed_mode=packed_mode)
+
+    def vspec(bs, imap):
+        return pl.BlockSpec(bs, imap, memory_space=pltpu.VMEM)
+
+    # ---- dq: grid (B*N, nq, nk), kv innermost ----
+    q_by_iq = lambda ibn, iq, ik, *_: (ibn, iq, 0)
+    k_by_ik = lambda ibn, iq, ik, *_: (ibn, ik, 0)
+    dq_specs = [
+        vspec((1, block_q, d), q_by_iq),
+        vspec((1, block_k, d), k_by_ik),
+        vspec((1, block_k, d), k_by_ik),
+        vspec((1, block_q, d), q_by_iq),
+        vspec((1, block_q, d), q_by_iq),
+        vspec((1, block_q, 128), q_by_iq),
+    ]
+    dq_inputs = [qf, kf, vf, dof, of, lse]
+    if has_segments:
+        dq_specs += [
+            vspec((1, block_q, 128),
+                  lambda ibn, iq, ik, *_, _n=n: (ibn // _n, iq, 0)),
+            vspec((1, 8, block_k),
+                  lambda ibn, iq, ik, *_, _n=n: (ibn // _n, 0, ik)),
+        ]
+        dq_inputs += seg_inputs
+
+    # 5 matmuls of bq*bk*d per (iq, ik) step across fwd-recompute + grads
+    bwd_cost = pl.CostEstimate(
+        flops=5 * b * n * lq * lk * d,
+        bytes_accessed=(qf.size + dof.size + of.size) * qf.dtype.itemsize
+        + (kf.size + vf.size) * qf.dtype.itemsize * (lq // block_q)
+        + lse.size * 4,
+        transcendentals=b * n * lq * lk,
+    )
+
+    dq_kernel = functools.partial(_flash_bwd_dq_kernel, **common)
+    dq_grid = (b * n, lq // block_q, lk // block_k)
+    dq_out_spec = vspec((1, block_q, d), q_by_iq)
+    dq_out_shape = jax.ShapeDtypeStruct((b * n, lq, d), q.dtype)
+    dq_scratch = [pltpu.VMEM((block_q, d), jnp.float32)]
+    if has_scalars:
+        dqf = pl.pallas_call(
+            dq_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=dq_grid, in_specs=dq_specs,
+                out_specs=dq_out_spec, scratch_shapes=dq_scratch),
+            out_shape=dq_out_shape, interpret=interpret,
+            cost_estimate=bwd_cost,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+        )(scalars, *dq_inputs)
+    else:
+        dqf = pl.pallas_call(
+            dq_kernel, grid=dq_grid, in_specs=dq_specs,
+            out_specs=dq_out_spec, out_shape=dq_out_shape,
+            scratch_shapes=dq_scratch, interpret=interpret,
+            cost_estimate=bwd_cost,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+        )(*dq_inputs)
+
+    # ---- dk/dv: grid (B*N, nk, nq), q innermost ----
+    q_by_inner = lambda ibn, ik, iq, *_: (ibn, iq, 0)
+    k_by_outer = lambda ibn, ik, iq, *_: (ibn, ik, 0)
+    dkv_specs = [
+        vspec((1, block_q, d), q_by_inner),
+        vspec((1, block_k, d), k_by_outer),
+        vspec((1, block_k, d), k_by_outer),
+        vspec((1, block_q, d), q_by_inner),
+        vspec((1, block_q, d), q_by_inner),
+        vspec((1, block_q, 128), q_by_inner),
+    ]
+    dkv_inputs = [qf, kf, vf, dof, of, lse]
+    if has_segments:
+        dkv_specs += [
+            vspec((1, block_q, 128),
+                  lambda ibn, ik, iq, *_, _n=n: (ibn // _n, iq, 0)),
+            vspec((1, 8, block_k),
+                  lambda ibn, ik, iq, *_, _n=n: (ibn // _n, 0, ik)),
+        ]
+        dkv_inputs += seg_inputs
+
+    dkv_kernel = functools.partial(_flash_bwd_dkv_kernel, **common)
+    dkv_grid = (b * n, lk // block_k, lq // block_q)
+    dkv_out_specs = (vspec((1, block_k, d), k_by_outer),
+                     vspec((1, block_k, d), k_by_outer))
+    dkv_out_shapes = (jax.ShapeDtypeStruct((b * n, lk, d), k.dtype),
+                      jax.ShapeDtypeStruct((b * n, lk, d), v.dtype))
+    dkv_scratch = [pltpu.VMEM((block_k, d), jnp.float32),
+                   pltpu.VMEM((block_k, d), jnp.float32)]
+    if has_scalars:
+        dkf, dvf = pl.pallas_call(
+            dkv_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=dkv_grid, in_specs=dkv_specs,
+                out_specs=dkv_out_specs, scratch_shapes=dkv_scratch),
+            out_shape=dkv_out_shapes, interpret=interpret,
+            cost_estimate=bwd_cost,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+        )(scalars, *dkv_inputs)
+    else:
+        dkf, dvf = pl.pallas_call(
+            dkv_kernel, grid=dkv_grid, in_specs=dkv_specs,
+            out_specs=dkv_out_specs, out_shape=dkv_out_shapes,
+            scratch_shapes=dkv_scratch, interpret=interpret,
+            cost_estimate=bwd_cost,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+        )(*dkv_inputs)
+
+    def unfold(x, length):
+        return x.reshape(b, n, length, d).transpose(0, 2, 1, 3)
+
+    return unfold(dqf, lq), unfold(dkf, lk), unfold(dvf, lk)

@@ -204,6 +204,64 @@ def update_context_vit(params, cfg: BagelConfig, ctx, vit_embeds,
     return {"cache": cache, "rope": ctx["rope"] + 1}
 
 
+def patchify_latent(latent: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """[H_lat, W_lat, c] -> [h*w, p*p*c], inner order (p, q, c) — matches
+    the reference's 'chpwq->hwpqc' einsum (bagel.py:517-521) and is the
+    exact inverse of unpatchify_latent."""
+    hl, wl, c = latent.shape
+    x = latent.reshape(hl // patch, patch, wl // patch, patch, c)
+    x = x.transpose(0, 2, 1, 3, 4)
+    return x.reshape(-1, patch * patch * c)
+
+
+def update_context_vae(params, cfg: BagelConfig, ctx, latent,
+                       timestep: float = 0.0, compute_dtype=jnp.bfloat16):
+    """Append the VAE-latent view of a context image:
+    [start_of_image] + (vae2llm(patchified latent) + t_emb(timestep) +
+    2D latent pos-embed) + [end_of_image], non-causally, all rows at one
+    rope position, latent rows routed to the GEN expert and the start/end
+    tokens to the und expert (reference prepare_vae_images +
+    forward_cache_update_vae, bagel.py:417-551 — packed_timesteps
+    defaults to 0, mode='gen' with packed_vae/text_indexes when MoE).
+
+    This is the second tower of `update_context_image(vae=True)`
+    (influencer.py:72-110): image *editing* / image-conditioned generation
+    conditions on BOTH the semantic (ViT) and reconstructive (VAE) views.
+
+    latent: [H_lat, W_lat, latent_channel] — an image_vae_encode output.
+    """
+    p = cfg.latent_patch_size
+    hl, wl, _ = latent.shape
+    hh, ww = hl // p, wl // p
+    n_tok = hh * ww
+    tokens = patchify_latent(latent.astype(jnp.float32), p)
+    pos_rows = jnp.asarray(flattened_position_ids(hh, ww,
+                                                  cfg.max_latent_size))
+    t_emb = nn.linear(
+        params["time_embedder"]["fc1"],
+        nn.silu(nn.linear(params["time_embedder"]["fc0"],
+                          timestep_embedding(
+                              jnp.asarray([timestep], jnp.float32), 256),
+                          compute_dtype=jnp.float32)),
+        compute_dtype=jnp.float32)[0]
+    x_tok = nn.linear(params["vae2llm"], tokens, compute_dtype=jnp.float32)
+    x_tok = x_tok + t_emb[None] + \
+        params["latent_pos_embed"][pos_rows].astype(jnp.float32)
+
+    emb = params["llm"]["embed_tokens"]
+    seq = jnp.concatenate([
+        emb[cfg.start_of_image][None].astype(compute_dtype),
+        x_tok.astype(compute_dtype),
+        emb[cfg.end_of_image][None].astype(compute_dtype)], axis=0)
+    pos = jnp.full((n_tok + 2,), ctx["rope"], jnp.int32)
+    und_rows = jnp.asarray([0, n_tok + 1], jnp.int32)
+    _, cache = qwen2_mot_forward(
+        params["llm"], cfg.llm, seq, pos, ctx["cache"], mode="gen",
+        und_rows=und_rows, is_causal=False, compute_dtype=compute_dtype,
+        final_norm=False)
+    return {"cache": cache, "rope": ctx["rope"] + 1}
+
+
 # ---------------------------------------------------------------------------
 # text generation (AR decode as lax.scan)
 # ---------------------------------------------------------------------------

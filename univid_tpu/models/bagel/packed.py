@@ -72,19 +72,35 @@ def build_mask_ids(sample_lens: List[int], split_lens: List[int],
     return doc_id, fn, nz
 
 
+def _detach_rows(h, rows):
+    """stop_gradient on the given rows only (reference .detach() on
+    packed_und_token_indexes slices)."""
+    return h.at[rows].set(jax.lax.stop_gradient(h[rows]))
+
+
 def qwen2_mot_packed_forward(params, cfg: Qwen2MoTConfig, seq, pos_ids,
                              mask_codes, und_rows,
-                             compute_dtype=jnp.bfloat16):
+                             compute_dtype=jnp.bfloat16,
+                             freeze_und: bool = False):
     """Cache-free packed LM forward with the composite training mask.
 
     seq [L, hidden]; und_rows: index array of understanding tokens
     (text + vit) routed through the base experts; all other rows use the
     gen experts (qwen2_navit.py:406-497 training routing).
+
+    freeze_und=True reproduces the reference's config.freeze_und detach
+    points (qwen2_navit.py:434,441,446,737,747,980,1011): every
+    und-expert output (q/k post-norm, v, attention out, mlp out, final
+    norm, and the und input rows) is stop-gradiented, so gen-expert
+    training cannot backprop into und weights — including via gen tokens
+    attending to und k/v rows.
     """
     l = seq.shape[0]
     hd = cfg.head_dim
     cos, sin = rope_tables(pos_ids, hd, cfg.rope_theta)
     x = seq.astype(compute_dtype)
+    if freeze_und:
+        x = _detach_rows(x, und_rows)  # qwen2_navit.py:980
     codes = mask_codes[None]
 
     def ln(layer, name, h):
@@ -118,6 +134,12 @@ def qwen2_mot_packed_forward(params, cfg: Qwen2MoTConfig, seq, pos_ids,
                                  und_rows, cfg.rms_norm_eps)
                 k = _expert_norm(attn_p["k_norm"], attn_g["k_norm"], k,
                                  und_rows, cfg.rms_norm_eps)
+        if freeze_und:
+            # qwen2_navit.py:434,441,446 — cuts grads into und q/k/v
+            # projections, including from GEN tokens attending to und k/v
+            q = _detach_rows(q, und_rows)
+            k = _detach_rows(k, und_rows)
+            v = _detach_rows(v, und_rows)
         q = apply_rope_half(q, cos, sin)
         k = apply_rope_half(k, cos, sin)
 
@@ -127,6 +149,8 @@ def qwen2_mot_packed_forward(params, cfg: Qwen2MoTConfig, seq, pos_ids,
         o = attention(q[None], kk[None], vv[None], q_segments=codes,
                       kv_segments=codes, packed_mode=True)[0]
         o = proj(attn_p, attn_g, "o", o.reshape(l, cfg.num_heads * hd))
+        if freeze_und:
+            o = _detach_rows(o, und_rows)  # qwen2_navit.py:737
         h = h + o
 
         y = ln(layer, "post_ln", h)
@@ -136,6 +160,8 @@ def qwen2_mot_packed_forward(params, cfg: Qwen2MoTConfig, seq, pos_ids,
             m = _qwen_mlp(layer["mlp_gen"], y, compute_dtype)
             if und_rows.shape[0] > 0:
                 m_und = _qwen_mlp(layer["mlp"], y[und_rows], compute_dtype)
+                if freeze_und:
+                    m_und = jax.lax.stop_gradient(m_und)  # :747
                 m = m.at[und_rows].set(m_und)
         return h + m
 
@@ -149,6 +175,8 @@ def qwen2_mot_packed_forward(params, cfg: Qwen2MoTConfig, seq, pos_ids,
     else:
         x = nn.rms_norm(x, params["norm"].astype(x.dtype),
                         eps=cfg.rms_norm_eps)
+    if freeze_und:
+        x = _detach_rows(x, und_rows)  # qwen2_navit.py:1011
     return x
 
 
@@ -161,6 +189,7 @@ def bagel_packed_forward(
     siglip_params=None,
     siglip_cfg=None,
     compute_dtype=jnp.bfloat16,
+    freeze_und: bool = False,
 ) -> Dict[str, Optional[jnp.ndarray]]:
     """Packed multi-sample training step (bagel.py:101-229).
 
@@ -231,7 +260,8 @@ def bagel_packed_forward(
 
     h = qwen2_mot_packed_forward(
         params["llm"], cfg.llm, seq, batch["packed_position_ids"],
-        batch["mask_codes"], und_rows, compute_dtype=compute_dtype)
+        batch["mask_codes"], und_rows, compute_dtype=compute_dtype,
+        freeze_und=freeze_und)
 
     out: Dict[str, Optional[jnp.ndarray]] = {"mse": None, "ce": None}
     if target is not None:

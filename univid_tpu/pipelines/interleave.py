@@ -30,6 +30,7 @@ from ..models.bagel.bagel import (
     init_gen_context,
     unpatchify_latent,
     update_context_text,
+    update_context_vae,
     update_context_vit,
 )
 from ..models.bagel.siglip import SiglipConfig, image_to_patches, siglip_forward
@@ -115,10 +116,44 @@ class InterleaveInferencer:
                                np.full(pad, -1, np.int32)])
         return patches, jnp.asarray(pos), jnp.asarray(segs), n
 
+    def vae_resize(self, image: jnp.ndarray) -> jnp.ndarray:
+        """Stride-aligned resize for the VAE path (reference vae_transform
+        role): dims to multiples of latent_downsample (16), long edge
+        clamped to max_latent_size * latent_downsample (1024)."""
+        stride = self.cfg.latent_downsample
+        max_side = self.cfg.max_latent_size * stride
+        h, w = image.shape[:2]
+        scale = min(1.0, max_side / max(h, w))
+        th = int(np.clip(round(h * scale / stride), 1,
+                         max_side // stride)) * stride
+        tw = int(np.clip(round(w * scale / stride), 1,
+                         max_side // stride)) * stride
+        if (th, tw) == (h, w):
+            return image
+        return jax.image.resize(image, (th, tw, image.shape[2]),
+                                method="bilinear")
+
+    def update_context_vae_image(self, image: jnp.ndarray, ctx):
+        """VAE tower of the image context (influencer.py:84-93): encode the
+        resized image, append the timestep-0 latent rows in gen mode."""
+        assert self.vae_params is not None, "image VAE not loaded"
+        image = self.vae_resize(image)
+        latent = image_vae_encode(self.vae_params, self.vae_cfg,
+                                  image[None])[0]
+        return update_context_vae(self.params, self.cfg, ctx, latent,
+                                  compute_dtype=self.dtype)
+
     def update_context_image(self, image: jnp.ndarray, ctx,
-                             bucketed: bool = True):
-        """image [H, W, 3] in [-1, 1]; resized to vit patch multiples."""
+                             bucketed: bool = True, vae: bool = False):
+        """image [H, W, 3] in [-1, 1]; resized to vit patch multiples.
+
+        vae=True prepends the VAE-latent rows before the ViT rows — the
+        reference's update_context_image(vae=True, vit=True) order
+        (influencer.py:84-104); generation/editing contexts need both
+        towers, understanding contexts only the ViT one (:278)."""
         assert self.siglip_params is not None, "vision tower not loaded"
+        if vae:
+            ctx = self.update_context_vae_image(image, ctx)
         scfg = self.siglip_cfg
         if bucketed:
             patches, pos, segs, n = self._prep_image_bucketed(image)
@@ -298,7 +333,12 @@ class InterleaveInferencer:
                 ctx = self.update_context_text(term, ctx)
                 cfg_img_ctx = self.update_context_text(term, cfg_img_ctx)
             else:
-                ctx = self.update_context_image(term, ctx)
+                # generation/editing contexts condition on BOTH towers
+                # (VAE latents + ViT); understanding uses ViT only
+                # (reference influencer.py:278 vae=not understanding_output)
+                use_vae = (not understanding_output
+                           and self.vae_params is not None)
+                ctx = self.update_context_image(term, ctx, vae=use_vae)
                 image_shapes = tuple(term.shape[:2])
                 cfg_text_ctx = ctx
 

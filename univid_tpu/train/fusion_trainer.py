@@ -139,10 +139,16 @@ def make_semantic_train_step(fusion_cfg: FusionConfig, tx):
 def make_diffusion_train_step(spec: WanModelSpec, fusion_cfg: FusionConfig,
                               train_cfg: FusionTrainConfig, tx,
                               base_dit_params, vae_params,
-                              latent_grid, lora_template=None):
+                              latent_grid, lora_template=None,
+                              remat_blocks: bool = False):
     """LoRA + projector diffusion step (model_pipeline.py:2765-3142 role):
     video [B, T, H, W, 3] -> VAE latents -> flow noise at t -> DiT with
-    LoRA-merged frozen base + projected BAGEL context -> velocity MSE."""
+    LoRA-merged frozen base + projected BAGEL context -> velocity MSE.
+
+    remat_blocks=True rematerializes each DiT block in the backward pass
+    (jax.checkpoint) — required at real video resolutions (33k tokens)
+    where storing every block's activations would exceed HBM; pairs with
+    the O(L)-memory Pallas flash-attention backward."""
     cfg = spec.dit
     f, h, w = latent_grid
     pt, ph, pw = cfg.patch_size
@@ -164,7 +170,7 @@ def make_diffusion_train_step(spec: WanModelSpec, fusion_cfg: FusionConfig,
         sigma = t.astype(jnp.float32) / train_cfg.num_train_timesteps
         x_t = add_flow_noise(x0, noise, sigma[:, None, None, None, None])
         v_pred = wan_dit_forward(params, cfg, x_t, t, ctx, rope_cos,
-                                 rope_sin)
+                                 rope_sin, remat_blocks=remat_blocks)
         target = (noise - x0).astype(jnp.float32)
         return jnp.mean(jnp.square(v_pred - target))
 

@@ -201,3 +201,174 @@ def test_preprocess_cli(tmp_path):
     for key in ("ref", "pose_video", "face_video", "bg_video"):
         assert os.path.exists(meta["paths"][key])
     assert os.path.exists(os.path.join(out, "preprocess_meta.json"))
+
+
+# ---------------------------------------------------------------------------
+# round-3 fidelity tail: face render, hand retarget, foot clamp,
+# deterministic SAM2-role mask fallback + propagation
+# ---------------------------------------------------------------------------
+
+def _hand(cx, cy, scale=1.0, conf=1.0):
+    """Synthetic 21-kp hand: root at (cx, cy), fingers fanning right."""
+    pts = [(cx, cy)]
+    for f in range(5):
+        for j in range(1, 5):
+            pts.append((cx + 4 * j * scale, cy + (f - 2) * 3 * scale))
+    kp = np.asarray(pts, np.float32)
+    return np.concatenate([kp, np.full((21, 1), conf, np.float32)],
+                          axis=1)
+
+
+def _face70(cx, cy, r=12.0):
+    """Synthetic 70-pt face layout around (cx, cy)."""
+    ang = np.linspace(0, 2 * np.pi, 70, endpoint=False)
+    return np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)],
+                    axis=1).astype(np.float32)
+
+
+def test_draw_face_keypoints_parts():
+    from univid_tpu.data.animate_preprocess import (FACE_STYLE,
+                                                    draw_face_keypoints)
+    img = np.zeros((128, 128, 3), np.uint8)
+    out = draw_face_keypoints(img, _face70(64, 64))
+    assert out.sum() > 0 and img.sum() == 0
+    # every styled part leaves its color on the canvas
+    for item in FACE_STYLE.values():
+        color = np.asarray(item["color"], np.uint8)
+        assert (out == color).all(axis=-1).any(), item
+    # 68-pt input (no eyeballs) still renders the other parts
+    out68 = draw_face_keypoints(img, _face70(64, 64)[:68])
+    assert out68.sum() > 0
+
+
+def test_draw_pose_face_overlay_and_head_toggle():
+    canvas = np.zeros((128, 256, 3), np.uint8)
+    with_face = draw_pose(canvas, _t_pose(), kps_face=_face70(100, 40))
+    without = draw_pose(canvas, _t_pose())
+    assert with_face.sum() > without.sum()
+    # draw_head=False suppresses the nose/eye/ear points+limbs
+    # (reference draw_aapose_new:799-801)
+    no_head = draw_pose(canvas, _t_pose(), draw_head=False)
+    assert 0 < no_head.sum() < without.sum()
+
+
+def test_retarget_hand_follows_wrist():
+    from univid_tpu.data.animate_preprocess import (retarget_hand,
+                                                    retarget_hands)
+    src = _t_pose(scale=1.0)
+    ref = _t_pose(cx=80, cy=50, scale=1.5)
+    ratios = bone_ratios(src, ref)
+    new_body = retarget_body(src, ratios, anchor=ref[1, :2])
+    lh = _hand(*src[7, :2])   # on the left wrist
+    rh = _hand(*src[4, :2])   # on the right wrist
+    out_l, out_r = retarget_hands(lh, rh, src, new_body, ratios)
+    # roots land exactly on the retargeted wrists
+    np.testing.assert_allclose(out_l[0, :2], new_body[7, :2], atol=1e-4)
+    np.testing.assert_allclose(out_r[0, :2], new_body[4, :2], atol=1e-4)
+    # hand scaled by the shoulder-bone ratio (1.5 here)
+    ratio = max(ratios[2], ratios[5])
+    src_span = np.linalg.norm(lh[1:, :2] - lh[0, :2], axis=1)
+    out_span = np.linalg.norm(out_l[1:, :2] - out_l[0, :2], axis=1)
+    np.testing.assert_allclose(out_span, src_span * ratio, rtol=1e-5)
+    # confidences untouched
+    np.testing.assert_array_equal(out_l[:, 2], lh[:, 2])
+
+
+def test_retarget_hands_crossed_swap():
+    from univid_tpu.data.animate_preprocess import retarget_hands
+    src = _t_pose(scale=1.0)
+    ratios = {i: 1.0 for i in range(20)}
+    # crossed arms: the "left" hand detection sits on the RIGHT wrist
+    lh = _hand(*src[4, :2])
+    rh = _hand(*src[7, :2])
+    out_l, out_r = retarget_hands(lh, rh, src, src, ratios)
+    # swap guard re-associates each hand with its nearest wrist
+    np.testing.assert_allclose(out_l[0, :2], src[7, :2], atol=1e-4)
+    np.testing.assert_allclose(out_r[0, :2], src[4, :2], atol=1e-4)
+
+
+def test_retarget_foot_clamp():
+    src = _t_pose(scale=1.0)
+    # stretch the toes far out: foot length 40 vs calf 25
+    src[18, 0] += 40
+    src[19, 0] -= 40
+    ratios = {i: 1.0 for i in range(20)}
+    out = retarget_body(src, ratios)
+    from univid_tpu.data.animate_preprocess import _PARENT
+    for toe in (18, 19):
+        ankle = _PARENT[toe]
+        calf = np.linalg.norm(out[ankle, :2] - out[_PARENT[ankle], :2])
+        foot = np.linalg.norm(out[toe, :2] - out[ankle, :2])
+        assert foot <= 0.5 * calf + 1e-4
+
+
+def test_replace_mode_pose_hull_fallback():
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (3, 120, 160, 3), np.uint8)
+    refer = rng.integers(0, 255, (90, 140, 3), np.uint8)
+
+    def pose_fn(fr):
+        h, w = fr.shape[1:3]
+        return [PoseMeta(body=_t_pose(cx=w / 2, cy=h / 3, scale=0.6))
+                for _ in range(len(fr))]
+
+    pipe = AnimatePreprocessPipeline(pose_fn, mask_fn=None)
+    with pytest.warns(UserWarning, match="pose-hull mask fallback"):
+        out = pipe(frames, refer, resolution_area=(160, 96), replace=True)
+    masks = out["aug_masks"]
+    assert masks.shape == frames.shape[:1] + out["frames"].shape[1:3]
+    # mask covers the skeleton keypoints
+    h, w = out["frames"].shape[1:3]
+    body = _t_pose(cx=w / 2, cy=h / 3, scale=0.6)
+    for x, y, _ in body:
+        if 0 <= int(y) < h and 0 <= int(x) < w:
+            assert masks[0, int(y), int(x)] == 1
+    # and not the whole frame
+    assert masks[0].mean() < 0.9
+
+
+def test_propagate_mask_tracks_motion():
+    from univid_tpu.data.animate_preprocess import propagate_mask
+    t, h, w = 6, 64, 64
+    frames = np.zeros((t, h, w, 3), np.uint8)
+    truth = np.zeros((t, h, w), bool)
+    for i in range(t):
+        x = 10 + 3 * i
+        frames[i, 20:40, x:x + 12] = 255
+        truth[i, 20:40, x:x + 12] = True
+    out = propagate_mask(frames, truth[0].astype(np.uint8))
+    assert out.shape == (t, h, w)
+    for i in range(t):
+        inter = (out[i].astype(bool) & truth[i]).sum()
+        union = (out[i].astype(bool) | truth[i]).sum()
+        assert inter / union > 0.5, f"frame {i} IoU {inter/union:.2f}"
+
+
+def test_animate_relight_lora_hook():
+    import jax
+    import jax.numpy as jnp
+    from tests.test_animate import TINY, TINY_VAE
+    from univid_tpu.models.wan.animate.model import init_wan_animate
+    from univid_tpu.pipelines.animate import WanAnimatePipeline
+    from univid_tpu.models.wan.vae_api import init_wan_vae
+    from univid_tpu.train.lora import LoRAConfig, init_lora
+
+    params = init_wan_animate(jax.random.PRNGKey(0), TINY)
+    vae = init_wan_vae(jax.random.PRNGKey(1), TINY_VAE)
+    lora_cfg = LoRAConfig(rank=2, target_strategy="attention_focused")
+    lora = init_lora(jax.random.PRNGKey(2), TINY, lora_cfg)
+    # a trained relight adapter has non-zero B factors
+    lora["sites"] = {
+        site: dict(p, b=jax.random.normal(jax.random.PRNGKey(i),
+                                          p["b"].shape) * 0.1)
+        for i, (site, p) in enumerate(lora["sites"].items())}
+    base = WanAnimatePipeline(TINY, params, TINY_VAE, vae)
+    merged = WanAnimatePipeline(TINY, params, TINY_VAE, vae,
+                                relight_lora=lora)
+    w0 = base.params["blocks"]["cross_attn"]["q"]["w"]
+    w1 = merged.params["blocks"]["cross_attn"]["q"]["w"]
+    assert not jnp.allclose(w0, w1)
+    # non-targeted weights untouched
+    np.testing.assert_array_equal(
+        np.asarray(base.params["patch_embed"]["w"]),
+        np.asarray(merged.params["patch_embed"]["w"]))

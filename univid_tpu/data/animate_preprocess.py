@@ -207,18 +207,70 @@ HAND_EDGES = [(0, 1), (1, 2), (2, 3), (3, 4), (0, 5), (5, 6), (6, 7),
               (13, 14), (14, 15), (15, 16), (0, 17), (17, 18), (18, 19),
               (19, 20)]
 
+# 68-landmark (+2 eyeballs) face drawing style: per-part polylines and
+# eyeball dots. Protocol constants matching the checkpoint's rendering
+# convention (human_visualization.py FACE_CUSTOM_STYLE:1136-1145).
+FACE_STYLE = {
+    "eyeball": {"indexs": [68, 69], "color": (255, 255, 255),
+                "connect": False},
+    "left_eyebrow": {"indexs": [17, 18, 19, 20, 21], "color": (0, 255, 0)},
+    "right_eyebrow": {"indexs": [22, 23, 24, 25, 26],
+                      "color": (0, 0, 255)},
+    "left_eye": {"indexs": [36, 37, 38, 39, 40, 41],
+                 "color": (255, 255, 0), "close": True},
+    "right_eye": {"indexs": [42, 43, 44, 45, 46, 47],
+                  "color": (255, 0, 255), "close": True},
+    "mouth_outside": {"indexs": list(range(48, 60)),
+                      "color": (100, 255, 50), "close": True},
+    "mouth_inside": {"indexs": [60, 61, 62, 63, 64, 65, 66, 67],
+                     "color": (255, 100, 50), "close": True},
+}
+
+
+def draw_face_keypoints(img: np.ndarray, kps: np.ndarray,
+                        thickness: int = 2,
+                        style: Dict = FACE_STYLE) -> np.ndarray:
+    """Render 68/70-point face landmarks: polylines per facial part,
+    filled dots for parts marked connect=False (eyeballs). kps: [F, 2+]
+    pixel coords. Reference: human_visualization.py draw_face_kp
+    (:1147-1165)."""
+    import cv2
+    img = img.copy()
+    n = kps.shape[0]
+    for item in style.values():
+        idx = [i for i in item["indexs"] if i < n]
+        if not idx:
+            continue
+        pts = np.asarray(kps[idx][:, :2]).astype(np.int32)
+        if item.get("connect", True):
+            cv2.polylines(img, [pts], item.get("close", False),
+                          item["color"], thickness=thickness)
+        else:
+            for kp in pts:
+                cv2.circle(img, (int(kp[0]), int(kp[1])), thickness * 2,
+                           item["color"], thickness=-1)
+    return img
+
 
 def draw_pose(canvas: np.ndarray, kps_body: np.ndarray,
               kps_lhand: Optional[np.ndarray] = None,
               kps_rhand: Optional[np.ndarray] = None,
-              threshold: float = 0.6) -> np.ndarray:
+              threshold: float = 0.6,
+              kps_face: Optional[np.ndarray] = None,
+              draw_head: bool = True) -> np.ndarray:
     """Render an openpose-style conditioning image: limbs as filled
     ellipses at 0.6 brightness, joints as circles, hands as white-ish
-    edges. kps_*: [N, 3] (x_px, y_px, confidence)."""
+    edges, optional 68-pt face-landmark polylines (draw_face_keypoints).
+    kps_*: [N, 3] (x_px, y_px, confidence). draw_head=False suppresses
+    the head body points (nose/eyes/ears), as in reference
+    draw_aapose_new (human_visualization.py:799-801)."""
     import cv2
     img = canvas.copy()
     h, w = img.shape[:2]
     stick = max(int(min(h, w) / 200) - 1, 1)
+    if not draw_head:
+        kps_body = kps_body.copy()
+        kps_body[[0, 14, 15, 16, 17], 2] = 0.0
     for (a, b), color in zip(POSE_LIMBS, POSE_COLORS):
         k1, k2 = kps_body[a], kps_body[b]
         if k1[2] < threshold or k2[2] < threshold:
@@ -242,6 +294,11 @@ def draw_pose(canvas: np.ndarray, kps_body: np.ndarray,
             cv2.line(img, (int(hand[a][0]), int(hand[a][1])),
                      (int(hand[b][0]), int(hand[b][1])),
                      POSE_COLORS[i % len(POSE_COLORS)], stick)
+    if kps_face is not None:
+        # landmark indices are positional (FACE_STYLE parts), so no
+        # per-point confidence filter — matches reference draw_face_kp
+        # which takes [70, 2] coords without scores
+        img = draw_face_keypoints(img, kps_face, thickness=max(stick, 1))
     return img
 
 
@@ -287,14 +344,178 @@ def retarget_body(body: np.ndarray, ratios: Dict[int, float],
     """Re-chain the driving skeleton with the reference character's bone
     lengths: each child keypoint keeps the driving bone DIRECTION but
     takes ref_len = src_len * ratio, walking the tree from the neck.
-    `anchor` pins the neck (defaults to the driving neck position)."""
+    `anchor` pins the neck (defaults to the driving neck position).
+
+    Foot bones (toes 18/19) are clamped so the retargeted foot length
+    stays within 0.5x the retargeted calf length — reference
+    foot_lower_leg_ratio rule (retarget_pose.py:197-206)."""
     out = body.copy()
     out[1, :2] = body[1, :2] if anchor is None else anchor
+    ratios = dict(ratios)
+    for toe, ankle in ((18, 13), (19, 10)):  # LToe<-LAnkle, RToe<-RAnkle
+        calf_new = (np.linalg.norm(body[ankle, :2]
+                                   - body[_PARENT[ankle], :2])
+                    * ratios[ankle])
+        foot_src = np.linalg.norm(body[toe, :2] - body[_PARENT[toe], :2])
+        if foot_src > 1e-6 and foot_src * ratios[toe] > 0.5 * calf_new:
+            ratios[toe] = 0.5 * calf_new / foot_src
     for child in _TOPO:
         p = _PARENT[child]
         vec = body[child, :2] - body[p, :2]
         out[child, :2] = out[p, :2] + vec * ratios[child]
     return out
+
+
+def retarget_hand(hand: np.ndarray, wrist_new: np.ndarray,
+                  ratio: float) -> np.ndarray:
+    """Retarget one 21-point hand to follow its rescaled wrist: scale
+    the hand about its root (keypoint 0) by the body's shoulder-bone
+    ratio, then translate so the root lands exactly on the retargeted
+    wrist. Reference mechanism: deal_hand_keypoints scales about the
+    root (retarget_pose.py:106-156), get_handpose_meta applies the
+    wrist delta + root-to-wrist snap (:80-103, :268-289) — net effect
+    is root -> rescaled wrist, hand scaled by
+    max(shoulder bone ratios) (:249-251)."""
+    out = hand.copy()
+    root = hand[0, :2]
+    out[:, :2] = (hand[:, :2] - root) * ratio + wrist_new
+    return out
+
+
+def retarget_hands(lhand: Optional[np.ndarray],
+                   rhand: Optional[np.ndarray],
+                   old_body: np.ndarray, new_body: np.ndarray,
+                   ratios: Dict[int, float], threshold: float = 0.4
+                   ) -> Tuple[Optional[np.ndarray],
+                              Optional[np.ndarray]]:
+    """Both hands retargeted onto the rescaled wrists (LWrist=7,
+    RWrist=4 in the 20-kp order). If the detected left-hand root sits
+    closer to the DRIVING right wrist than the left one, the hands are
+    swapped first — the reference's crossed-arms guard
+    (retarget_pose.py:280-289, distances measured in driving space)."""
+    ratio = max(ratios.get(2, 1.0), ratios.get(5, 1.0))
+    lw, rw = new_body[7, :2], new_body[4, :2]
+    if (lhand is not None and rhand is not None
+            and lhand[0, 2] >= threshold and rhand[0, 2] >= threshold
+            and old_body[7, 2] >= threshold
+            and old_body[4, 2] >= threshold):
+        d_ll = float(np.linalg.norm(lhand[0, :2] - old_body[7, :2]))
+        d_lr = float(np.linalg.norm(lhand[0, :2] - old_body[4, :2]))
+        if d_ll > d_lr:
+            lhand, rhand = rhand, lhand
+    out_l = retarget_hand(lhand, lw, ratio) if lhand is not None else None
+    out_r = retarget_hand(rhand, rw, ratio) if rhand is not None else None
+    return out_l, out_r
+
+
+# ---------------------------------------------------------------------------
+# deterministic mask fallback (the SAM2 role: sam_utils.py:122,
+# video_predictor.py:14 — neural video segmentation replaced by a
+# deterministic pose-hull + frame-difference propagation stand-in so
+# replacement mode runs with no injected mask_fn)
+# ---------------------------------------------------------------------------
+
+
+def pose_hull_mask(shape: Tuple[int, int], meta: "PoseMeta",
+                   threshold: float = 0.3,
+                   dilate_frac: float = 0.08) -> np.ndarray:
+    """Person foreground mask from a pose estimate: the filled convex
+    hull of all confident body/hand/face keypoints, dilated by
+    dilate_frac of the hull diagonal (limbs have thickness the bare
+    skeleton hull lacks). Deterministic SAM2 stand-in."""
+    import cv2
+    h, w = shape
+    pts = [meta.body[meta.body[:, 2] >= threshold][:, :2]]
+    for hand in (meta.lhand, meta.rhand):
+        if hand is not None:
+            pts.append(hand[hand[:, 2] >= threshold][:, :2])
+    if meta.face is not None:
+        pts.append(meta.face[:, :2])
+    pts = np.concatenate(pts, axis=0) if pts else np.zeros((0, 2))
+    mask = np.zeros((h, w), np.uint8)
+    if pts.shape[0] < 3:
+        return mask
+    hull = cv2.convexHull(pts.astype(np.int32))
+    cv2.fillConvexPoly(mask, hull, 1)
+    x0, y0, x1, y1 = mask_bbox(mask)
+    diag = math.hypot(x1 - x0, y1 - y0)
+    it = max(int(diag * dilate_frac), 1)
+    return dilate_mask(mask, k=3, iterations=it)
+
+
+def pose_hull_mask_fn(frames: np.ndarray,
+                      metas: Sequence["PoseMeta"]) -> np.ndarray:
+    """mask_fn-compatible fallback: per-frame pose-hull masks."""
+    h, w = frames.shape[1:3]
+    return np.stack([pose_hull_mask((h, w), m) for m in metas])
+
+
+def propagate_mask(frames: np.ndarray, first_mask: np.ndarray, *,
+                   search_radius: int = 16, match_threshold: float = 25.0,
+                   grow_px: int = 2) -> np.ndarray:
+    """Propagate a first-frame foreground mask through the video
+    deterministically (the SAM2 video-predictor role without a neural
+    tracker). Per step: (1) estimate the object's global translation by
+    brute-force template matching of the masked patch over a
+    +-search_radius window (argmin mean-abs-diff under the mask);
+    (2) shift the mask by that translation; (3) refine by
+    motion-consistency — keep candidate pixels (shifted mask grown by
+    grow_px) whose current color matches the source pixel they came
+    from under the estimated motion. Static or occluded frames carry
+    the previous mask."""
+    from scipy.ndimage import binary_dilation
+    prev = first_mask.astype(bool)
+    h, w = prev.shape
+    out = [prev]
+    for t in range(1, frames.shape[0]):
+        ys, xs = np.nonzero(prev)
+        if ys.size == 0:
+            out.append(prev)
+            continue
+        f0 = frames[t - 1].astype(np.float32)
+        f1 = frames[t].astype(np.float32)
+        y0, y1 = ys.min(), ys.max() + 1
+        x0, x1 = xs.min(), xs.max() + 1
+        tmpl = f0[y0:y1, x0:x1]
+        tmask = prev[y0:y1, x0:x1]
+        best = (np.inf, 0, 0)
+        r = search_radius
+        for dy in range(-r, r + 1):
+            yy0, yy1 = y0 + dy, y1 + dy
+            if yy0 < 0 or yy1 > h:
+                continue
+            for dx in range(-r, r + 1):
+                xx0, xx1 = x0 + dx, x1 + dx
+                if xx0 < 0 or xx1 > w:
+                    continue
+                diff = np.abs(f1[yy0:yy1, xx0:xx1] - tmpl).mean(-1)
+                score = float(diff[tmask].mean())
+                if score < best[0]:
+                    best = (score, dy, dx)
+        _, dy, dx = best
+        ys2, xs2 = ys + dy, xs + dx
+        ok = (ys2 >= 0) & (ys2 < h) & (xs2 >= 0) & (xs2 < w)
+        shifted = np.zeros_like(prev)
+        shifted[ys2[ok], xs2[ok]] = True
+        # motion-consistency refinement: f0 translated by (dy, dx)
+        f0s = np.full_like(f1, np.inf)
+        sy0, sy1 = max(dy, 0), h + min(dy, 0)
+        sx0, sx1 = max(dx, 0), w + min(dx, 0)
+        f0s[sy0:sy1, sx0:sx1] = f0[sy0 - dy:sy1 - dy, sx0 - dx:sx1 - dx]
+        match = np.abs(f1 - f0s).mean(-1) < match_threshold
+        new = shifted & match
+        if grow_px > 0:
+            # growth ring: only pixels where the object newly arrived —
+            # motion-consistent AND changed in place (pure background is
+            # consistent too, but unchanged; without the changed test
+            # the ring would accrete background every frame)
+            ring = binary_dilation(shifted, iterations=grow_px) \
+                & ~shifted
+            changed = np.abs(f1 - f0).mean(-1) >= match_threshold
+            new |= ring & match & changed
+        prev = new if new.any() else shifted if shifted.any() else prev
+        out.append(prev)
+    return np.stack(out).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -351,7 +572,10 @@ class AnimatePreprocessPipeline:
             ratios = bone_ratios(metas[0].body, ref_meta.body)
             anchor = ref_meta.body[1, :2]
             for m in metas:
-                m.body = retarget_body(m.body, ratios, anchor=anchor)
+                new_body = retarget_body(m.body, ratios, anchor=anchor)
+                m.lhand, m.rhand = retarget_hands(
+                    m.lhand, m.rhand, m.body, new_body, ratios)
+                m.body = new_body
 
         canvas = np.zeros((h, w, 3), np.uint8)
         cond = np.stack([draw_pose(canvas, m.body, m.lhand, m.rhand)
@@ -366,9 +590,17 @@ class AnimatePreprocessPipeline:
                "face_video": faces}
         if replace:
             if self.mask_fn is None:
-                raise ValueError("replacement mode needs mask_fn (SAM2 "
-                                 "stage)")
-            masks = self.mask_fn(frames, metas)
+                # deterministic fallback for the SAM2 segmentation role
+                # (video_predictor.py:14): pose-hull person masks; a
+                # neural detector via mask_fn is still recommended for
+                # production-quality mattes
+                import warnings
+                warnings.warn("no mask_fn injected: using the "
+                              "deterministic pose-hull mask fallback "
+                              "for the SAM2 segmentation stage")
+                masks = pose_hull_mask_fn(frames, metas)
+            else:
+                masks = self.mask_fn(frames, metas)
             aug = []
             for m in masks:
                 d = dilate_mask(m, k=k, iterations=iterations) \

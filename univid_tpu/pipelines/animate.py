@@ -88,8 +88,20 @@ class WanAnimatePipeline:
                  clip_cfg: Optional[ClipVisionConfig] = None,
                  clip_params=None,
                  policy: DTypePolicy = DEFAULT_POLICY,
-                 num_train_timesteps: int = 1000):
+                 num_train_timesteps: int = 1000,
+                 relight_lora=None):
         self.cfg = animate_cfg
+        if relight_lora is not None:
+            # replacement-mode relighting LoRA merged into the animate
+            # DiT weights (reference animate.py:179-189 loads a
+            # rank-128 PEFT adapter over the transformer when
+            # use_relighting_lora is set). Accepts a saved LoRA dir
+            # (train/lora.py save_lora contract) or an in-memory lora
+            # pytree.
+            from ..train.lora import load_lora, merge_lora
+            if isinstance(relight_lora, str):
+                relight_lora, _ = load_lora(relight_lora)
+            animate_params = merge_lora(animate_params, relight_lora)
         self.params = animate_params
         self.vae_cfg = vae_cfg
         self.vae_params = vae_params

@@ -13,7 +13,14 @@ Env knobs:
                 constant so 50-step time = 10x the 5-step scan)
   BENCH_MODEL   WAN_CONFIGS key (default t2v-1.3B)
   BENCH_FRAMES / BENCH_W / BENCH_H
-  BENCH_FLAGSHIP  set to 0 to skip the ti2v-5B row
+  BENCH_FLAGSHIP  set to 0 to skip the ti2v-5B 480p row (decode incl.)
+  BENCH_REF_POINT set to 0 to skip the reference operating point row
+                  (ti2v-5B 1280x704x121f, 50 steps, decode included —
+                  the BASELINE.md contract); BENCH_REF_STEPS measured
+                  steps for it (default 3)
+  BENCH_TRAIN     set to 0 to skip the real-resolution training-step row
+                  (tools/bench_train.py: 1.3B diffusion/LoRA step at
+                  480p x 81f through the Pallas flash-attn backward)
   BENCH_SP      sequence-parallel width: shard the denoise token axis
                 over an sp mesh axis (needs >= that many devices; on the
                 single-chip driver this stays 1 — the SP path itself is
@@ -25,9 +32,22 @@ import json
 import os
 import time
 
+# persistent XLA compile cache (shared with __graft_entry__): the 5B
+# compiles take minutes cold through the TPU tunnel, seconds cached
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # noqa: BLE001
+    pass
 
 
 def dit_step_flops(spec, params_dit: int, w: int, h: int,
@@ -105,14 +125,19 @@ def measure(model: str, w: int, h: int, frames: int, steps_measured: int,
     per_step = (time.perf_counter() - t0) / steps_measured
 
     t_decode = 0.0
+    decode_error = None
     if decode:
-        dec = jax.jit(lambda vp, z: vae_decode(vp, spec.vae, z))
-        video = dec(vae_params, x0)
-        video.block_until_ready()
-        t0 = time.perf_counter()
-        video = dec(vae_params, x0)
-        video.block_until_ready()
-        t_decode = time.perf_counter() - t0
+        try:
+            dec = jax.jit(lambda vp, z: vae_decode(vp, spec.vae, z))
+            video = dec(vae_params, x0)
+            video.block_until_ready()
+            t0 = time.perf_counter()
+            video = dec(vae_params, x0)
+            video.block_until_ready()
+            t_decode = time.perf_counter() - t0
+            del video
+        except Exception as e:  # noqa: BLE001 — report denoise-only
+            decode_error = str(e)[:160]
 
     n_params = unn.count_params(dit_params)
     out = {
@@ -121,6 +146,8 @@ def measure(model: str, w: int, h: int, frames: int, steps_measured: int,
         "vae_decode_s": round(t_decode, 3),
         "params_dit": n_params,
     }
+    if decode_error:
+        out["decode_error"] = decode_error
     peak = device_peak_flops()
     if peak > 0:
         flops = dit_step_flops(spec, n_params, w, h, frames)
@@ -148,28 +175,71 @@ def main():
     if "est_mfu" in r:
         detail["est_mfu"] = r["est_mfu"]
 
-    if os.environ.get("BENCH_FLAGSHIP", "1") != "0" and model != "ti2v-5B":
-        # separate process so the first model's HBM is fully released
-        # before the 10 GB 5B weights land on the 16 GB v5e
+    def _sub_bench(extra_env: dict, timeout_s: int = 3600):
+        """Run this script (or a tool) in a fresh process so the parent
+        model's HBM is fully released before the 10 GB 5B weights land
+        on the 16 GB v5e; returns the parsed last-line JSON."""
         import subprocess
         import sys
-        env = dict(os.environ, BENCH_MODEL="ti2v-5B", BENCH_FLAGSHIP="0",
-                   BENCH_DECODE="0")
+        script = extra_env.pop("_SCRIPT", os.path.abspath(__file__))
+        env = dict(os.environ, **extra_env)
+        out = subprocess.run([sys.executable, script], env=env,
+                             capture_output=True, text=True,
+                             timeout=timeout_s)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    if os.environ.get("BENCH_FLAGSHIP", "1") != "0" and model != "ti2v-5B":
+        # flagship ti2v-5B at the same 480p x 81f point, decode INCLUDED
         try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True, timeout=3600)
-            line = out.stdout.strip().splitlines()[-1]
-            f5 = json.loads(line)
+            f5 = _sub_bench({"BENCH_MODEL": "ti2v-5B",
+                             "BENCH_FLAGSHIP": "0", "BENCH_DECODE": "1",
+                             "BENCH_REF_POINT": "0", "BENCH_TRAIN": "0"})
             detail["flagship_5B"] = {
-                "sec_per_video_no_decode": f5["value"],
+                "sec_per_video": f5["value"],
                 "dit_step_ms": f5["detail"]["dit_step_ms"],
+                "vae_decode_s": f5["detail"]["vae_decode_s"],
                 "params_dit": f5["detail"]["params_dit"],
             }
             if "est_mfu" in f5["detail"]:
                 detail["flagship_5B"]["est_mfu"] = f5["detail"]["est_mfu"]
         except Exception as e:  # noqa: BLE001
             detail["flagship_5B"] = {"error": str(e)[:200]}
+
+    if os.environ.get("BENCH_REF_POINT", "1") != "0" and model != "ti2v-5B":
+        # the reference operating point (BASELINE.md contract:
+        # inference.py:48-55): ti2v-5B, 1280x704, 121 frames, 50 UniPC
+        # steps, VAE decode included
+        try:
+            rp = _sub_bench({"BENCH_MODEL": "ti2v-5B", "BENCH_W": "1280",
+                             "BENCH_H": "704", "BENCH_FRAMES": "121",
+                             "BENCH_STEPS": os.environ.get(
+                                 "BENCH_REF_STEPS", "3"),
+                             "BENCH_FLAGSHIP": "0", "BENCH_DECODE": "1",
+                             "BENCH_REF_POINT": "0", "BENCH_TRAIN": "0"})
+            detail["ref_point"] = {
+                "resolution": "1280x704x121f",
+                "sec_per_video": rp["value"],
+                "dit_step_ms": rp["detail"]["dit_step_ms"],
+                "vae_decode_s": rp["detail"]["vae_decode_s"],
+            }
+            if "est_mfu" in rp["detail"]:
+                detail["ref_point"]["est_mfu"] = rp["detail"]["est_mfu"]
+        except Exception as e:  # noqa: BLE001
+            detail["ref_point"] = {"error": str(e)[:200]}
+
+    if os.environ.get("BENCH_TRAIN", "1") != "0" and model != "ti2v-5B":
+        # real-resolution diffusion/LoRA training step (the reference
+        # trains through flash-attn at full resolution,
+        # model_pipeline.py:2765-3142): 1.3B at 480p x 81f through the
+        # Pallas flash-attention backward
+        try:
+            tr = _sub_bench({"_SCRIPT": os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools",
+                "bench_train.py"), "BENCH_TRAIN_STEPS": "2"})
+            detail["train_step_ms"] = tr["train_step_ms"]
+            detail["train_resolution"] = tr["resolution"]
+        except Exception as e:  # noqa: BLE001
+            detail["train_step_ms"] = {"error": str(e)[:200]}
 
     result = {
         "metric": f"sec_per_video_{h}p{frames}f_50step_{model}",

@@ -114,7 +114,8 @@ def siglip_text_forward(params, cfg: SiglipTextConfig, ids: jnp.ndarray,
         pooled = x[:, -1]  # last padded token (modeling_siglip semantics)
     else:
         pooled = x.mean(axis=1)
-    t = nn.linear(params["proj"], pooled, compute_dtype=compute_dtype)
+    t = nn.linear(params["proj"], pooled,
+                  compute_dtype=compute_dtype).astype(jnp.float32)
     return t / jnp.linalg.norm(t, axis=-1, keepdims=True)
 
 
@@ -154,7 +155,15 @@ class Siglip2Scorer:
                  = None, text_params=None,
                  text_cfg: Optional[SiglipTextConfig] = None,
                  tokenizer=None, image_size: int = 224, mesh=None,
-                 seed: int = 0, map_head=None):
+                 seed: int = 0, map_head=None, compute_dtype=None):
+        # bf16 matmuls on TPU (MXU native; the fp32 path runs at ~1/4
+        # peak and made ranking the reflexion bottleneck — SURVEY §3.3);
+        # fp32 on CPU where bf16 is emulated and the oracle-parity tests
+        # run. Embeddings are L2-normalized in fp32 either way.
+        if compute_dtype is None:
+            compute_dtype = jnp.bfloat16 \
+                if jax.default_backend() == "tpu" else jnp.float32
+        self.compute_dtype = compute_dtype
         self.vision_cfg = vision_cfg or SiglipConfig(
             hidden_size=768, intermediate_size=3072, num_layers=12,
             num_heads=12, patch_size=16, image_size=image_size)
@@ -206,16 +215,18 @@ class Siglip2Scorer:
         def one(img):
             patches = image_to_patches(img, cfg.patch_size)
             feats = siglip_forward(vision_params, cfg, patches, pos,
-                                   compute_dtype=jnp.float32)
+                                   compute_dtype=self.compute_dtype)
             if self.map_head is not None:
                 return map_head_forward(self.map_head, feats,
-                                        cfg.num_heads)
+                                        cfg.num_heads,
+                                        compute_dtype=self.compute_dtype)
             return feats.mean(axis=0)
 
         pooled = jax.vmap(one)(images)
         if img_proj is not None:
             pooled = nn.linear(img_proj, pooled,
-                               compute_dtype=jnp.float32)
+                               compute_dtype=self.compute_dtype)
+        pooled = pooled.astype(jnp.float32)
         return pooled / jnp.linalg.norm(pooled, axis=-1, keepdims=True)
 
     def emb_imgs(self, frames: List[np.ndarray], bs: int = 64
@@ -263,8 +274,9 @@ class Siglip2Scorer:
         ids = self.tokenizer.encode(q)[: self.text_cfg.max_len]
         ids = ids + [0] * (self.text_cfg.max_len - len(ids))
         ids = jnp.asarray([ids], jnp.int32) % self.text_cfg.vocab_size
-        t = siglip_text_forward(self.text_params, self.text_cfg, ids)
-        return np.asarray(t)
+        t = siglip_text_forward(self.text_params, self.text_cfg, ids,
+                                compute_dtype=self.compute_dtype)
+        return np.asarray(t, np.float32)
 
     def rank_frames(self, frames: List[np.ndarray], query: str, topk: int,
                     bs: int = 64) -> Tuple[List[int], List[float]]:

@@ -93,8 +93,15 @@ def measure(model: str, w: int, h: int, frames: int, steps_measured: int,
     spec = WAN_CONFIGS[model]
     dit_params = init_wan_dit(jax.random.PRNGKey(0), spec.dit,
                               param_dtype=jnp.bfloat16)
-    vae_params = init_wan_vae(jax.random.PRNGKey(1), spec.vae,
-                              param_dtype=jnp.bfloat16) if decode else None
+    vae_params = None
+    if decode:
+        # init on HOST: the VAE weights must not occupy HBM during the
+        # denoise phase (10 GB 5B DiT + VAE exceeds the 16 GB v5e);
+        # they move to the device after the DiT is released
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            vae_params = init_wan_vae(jax.random.PRNGKey(1), spec.vae,
+                                      param_dtype=jnp.bfloat16)
 
     sp = int(os.environ.get("BENCH_SP", "1"))
     if sp > 1:
@@ -124,9 +131,19 @@ def measure(model: str, w: int, h: int, frames: int, steps_measured: int,
     x0.block_until_ready()
     per_step = (time.perf_counter() - t0) / steps_measured
 
+    n_params = unn.count_params(dit_params)
     t_decode = 0.0
     decode_error = None
     if decode:
+        # release the DiT weights before decode: at the 5B point the
+        # 10 GB parameters + decode workspace exceed the 16 GB v5e
+        x0 = jax.device_get(x0)
+        # the method-level lru_cache keys on `self`, keeping the
+        # pipeline (and its 10 GB of DiT weights) alive past `del`
+        type(pipe)._denoise_fn.cache_clear()
+        del pipe, dit_params
+        x0 = jnp.asarray(x0)
+        vae_params = jax.device_put(vae_params, jax.devices()[0])
         try:
             dec = jax.jit(lambda vp, z: vae_decode(vp, spec.vae, z))
             video = dec(vae_params, x0)
@@ -139,7 +156,6 @@ def measure(model: str, w: int, h: int, frames: int, steps_measured: int,
         except Exception as e:  # noqa: BLE001 — report denoise-only
             decode_error = str(e)[:160]
 
-    n_params = unn.count_params(dit_params)
     out = {
         "sec_per_video": round(per_step * full_steps + t_decode, 3),
         "dit_step_ms": round(per_step * 1e3, 1),
@@ -169,6 +185,8 @@ def main():
         "dit_step_ms": r["dit_step_ms"],
         "vae_decode_s": r["vae_decode_s"],
         "device": str(dev),
+        **({"decode_error": r["decode_error"]} if "decode_error" in r
+           else {}),
         "backend": jax.default_backend(),
         "params_dit": r["params_dit"],
     }
@@ -186,7 +204,12 @@ def main():
         out = subprocess.run([sys.executable, script], env=env,
                              capture_output=True, text=True,
                              timeout=timeout_s)
-        return json.loads(out.stdout.strip().splitlines()[-1])
+        lines = out.stdout.strip().splitlines()
+        if not lines:
+            raise RuntimeError(
+                f"no output (rc={out.returncode}): "
+                f"{out.stderr.strip()[-300:]}")
+        return json.loads(lines[-1])
 
     if os.environ.get("BENCH_FLAGSHIP", "1") != "0" and model != "ti2v-5B":
         # flagship ti2v-5B at the same 480p x 81f point, decode INCLUDED
@@ -199,6 +222,8 @@ def main():
                 "dit_step_ms": f5["detail"]["dit_step_ms"],
                 "vae_decode_s": f5["detail"]["vae_decode_s"],
                 "params_dit": f5["detail"]["params_dit"],
+                **({"decode_error": f5["detail"]["decode_error"]}
+                   if "decode_error" in f5["detail"] else {}),
             }
             if "est_mfu" in f5["detail"]:
                 detail["flagship_5B"]["est_mfu"] = f5["detail"]["est_mfu"]
@@ -221,6 +246,8 @@ def main():
                 "sec_per_video": rp["value"],
                 "dit_step_ms": rp["detail"]["dit_step_ms"],
                 "vae_decode_s": rp["detail"]["vae_decode_s"],
+                **({"decode_error": rp["detail"]["decode_error"]}
+                   if "decode_error" in rp["detail"] else {}),
             }
             if "est_mfu" in rp["detail"]:
                 detail["ref_point"]["est_mfu"] = rp["detail"]["est_mfu"]

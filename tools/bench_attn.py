@@ -1,13 +1,23 @@
 #!/usr/bin/env python
 """Micro-benchmark: flash attention kernel block-size sweep on TPU.
 
-Run on the real chip to pick block_q/block_k for the Wan DiT hot shape
-(SURVEY.md §3.1: ~33k video tokens, 12-24 heads, head_dim 128). Prints
-ms + achieved TFLOP/s + MFU per variant.
+Run on the real chip to pick block_q/block_k for the DiT hot shapes:
+  1.3B @ 480p x 81f: L=32760 (pad 32768), 12 heads, d128  (attention is
+       ~68% of the 1.3B step flops — kernel MFU ~= step MFU ceiling)
+  5B   @ 480p x 81f: L=8190 (pad 8192), 24 heads, d128
+  5B   @ 704p x 121f: L=27280, 24 heads, d128
+
+Prints ms + achieved TFLOP/s + MFU per variant. Env knobs:
+ATTN_GEOM=1.3B|5B|5B_ref|all, ATTN_ITERS.
 """
 
 import functools
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -15,6 +25,15 @@ import jax.numpy as jnp
 from univid_tpu.kernels.attention import attention
 
 PEAK = {"tpu": 197e12, "cpu": 1e12}
+
+GEOMS = {
+    "1.3B": dict(b=2, l=32760, n=12, d=128),
+    "5B": dict(b=2, l=8190, n=24, d=128),
+    "5B_ref": dict(b=2, l=27280, n=24, d=128),
+}
+
+BLOCKS = [(512, 512), (512, 1024), (1024, 512), (1024, 1024),
+          (1024, 2048), (2048, 1024), (2048, 512), (2048, 2048)]
 
 
 def bench(fn, *args, iters=5):
@@ -27,30 +46,40 @@ def bench(fn, *args, iters=5):
     return (time.perf_counter() - t0) / iters
 
 
-def main():
-    b, l, n, d = 2, 32768, 12, 128
+def sweep(name, b, l, n, d, iters):
     key = jax.random.PRNGKey(0)
     q, k, v = (jax.random.normal(kk, (b, l, n, d), jnp.bfloat16)
                for kk in jax.random.split(key, 3))
-    kv_len = jnp.full((b,), l - 8, jnp.int32)
     flops = 4 * b * n * l * l * d
     peak = PEAK.get(jax.default_backend(), 197e12)
-
-    for bq, bk in [(1024, 1024), (2048, 1024), (None, None)]:
-        for use_kvlen in (True,):
+    print(f"== {name}: B{b} L{l} H{n} D{d} "
+          f"({flops/1e12:.1f} TFLOP/call) ==")
+    for bq, bk in BLOCKS:
+        for use_kvlen in (True, False):
+            # kvlen=True is the production path whenever L doesn't
+            # divide the block (the wrapper pads + masks); kvlen=False
+            # isolates the mask predicate's VPU cost
+            kv_len = jnp.full((b,), l, jnp.int32) if use_kvlen else None
             fn = jax.jit(functools.partial(
-                attention, block_q=bq, block_k=bk,
-                kv_len=kv_len if use_kvlen else None))
+                attention, block_q=bq, block_k=bk, kv_len=kv_len))
             try:
-                dt = bench(fn, q, k, v)
+                dt = bench(fn, q, k, v, iters=iters)
             except Exception as e:  # noqa: BLE001
-                print(f"bq={bq} bk={bk} kvlen={use_kvlen}: FAIL "
-                      f"{str(e)[:80]}")
+                print(f"bq={bq:4d} bk={bk:4d} kvlen={int(use_kvlen)}: "
+                      f"FAIL {str(e)[:70]}")
                 continue
             tf = flops / dt / 1e12
-            print(f"bq={bq} bk={bk} kvlen={int(use_kvlen)}: "
+            print(f"bq={bq:4d} bk={bk:4d} kvlen={int(use_kvlen)}: "
                   f"{dt*1e3:8.2f} ms  {tf:6.1f} TF/s  "
-                  f"MFU {tf/ (peak/1e12) *100:5.1f}%")
+                  f"MFU {tf / (peak / 1e12) * 100:5.1f}%")
+
+
+def main():
+    geom = os.environ.get("ATTN_GEOM", "1.3B")
+    iters = int(os.environ.get("ATTN_ITERS", "5"))
+    names = list(GEOMS) if geom == "all" else [geom]
+    for nm in names:
+        sweep(nm, iters=iters, **GEOMS[nm])
 
 
 if __name__ == "__main__":

@@ -140,10 +140,15 @@ def _flash(q, k, v, kv_len, q_segments, kv_segments, q_offsets,
 def _flash_fwd(q, k, v, kv_len, q_segments, kv_segments, q_offsets,
                causal, q_offset, softmax_scale, block_q, block_k,
                packed_mode):
+    # the residual-saving forward carries an extra f32 lse output; at
+    # block_q=2048 the fp32 [bq, bk] score tile + lse double-buffering
+    # exceed the 16 MB scoped-VMEM budget (v5e), so cap the training
+    # forward at 1024 — the inference primal keeps the larger tile
+    bq = min(block_q, 1024)
     o, lse = flash_attention_padded(
         q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len,
         q_segments=q_segments, kv_segments=kv_segments,
-        softmax_scale=softmax_scale, block_q=block_q, block_k=block_k,
+        softmax_scale=softmax_scale, block_q=bq, block_k=block_k,
         packed_mode=packed_mode, q_offsets=q_offsets, save_residuals=True)
     return o, (q, k, v, o, lse, kv_len, q_segments, kv_segments, q_offsets)
 

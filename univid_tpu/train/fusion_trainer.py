@@ -155,15 +155,15 @@ def make_diffusion_train_step(spec: WanModelSpec, fusion_cfg: FusionConfig,
     rope_cos, rope_sin = build_rope_3d(cfg.head_dim,
                                        (f // pt, h // ph, w // pw))
 
-    def loss_fn(trainable, batch):
+    def loss_fn(trainable, batch, base_params):
         ctx = context_projector_forward(trainable["projector"], fusion_cfg,
                                         batch["bagel_tokens"])
         if "lora" in trainable:
-            params = merge_lora(base_dit_params, lora_template,
+            params = merge_lora(base_params, lora_template,
                                 freeze_base=True, sites=trainable["lora"])
         else:
             params = jax.tree_util.tree_map(jax.lax.stop_gradient,
-                                            base_dit_params)
+                                            base_params)
         x0 = batch["latents"]
         noise = batch["noise"]
         t = batch["t"]
@@ -174,20 +174,30 @@ def make_diffusion_train_step(spec: WanModelSpec, fusion_cfg: FusionConfig,
         target = (noise - x0).astype(jnp.float32)
         return jnp.mean(jnp.square(v_pred - target))
 
+    # the frozen base weights enter as jit ARGUMENTS, not closure
+    # captures: lowering would otherwise bake them into the HLO as
+    # constants (2.9 GB capture for the 1.3B — slow compile, duplicated
+    # HBM; same fix as the batched-captioning path)
     @jax.jit
+    def _encode(vp, video):
+        return vae_encode(vp, spec.vae, video)
+
     def encode(video):
-        return vae_encode(vae_params, spec.vae, video)
+        return _encode(vae_params, video)
 
     @jax.jit
-    def step(state, batch):
+    def _step(state, batch, base_params):
         loss, grads = jax.value_and_grad(loss_fn)(state["trainable"],
-                                                  batch)
+                                                  batch, base_params)
         updates, opt = tx.update(grads, state["opt"], state["trainable"])
         trainable = optax.apply_updates(state["trainable"], updates)
         new = dict(state, trainable=trainable, opt=opt,
                    step=state["step"] + 1,
                    best_loss=jnp.minimum(state["best_loss"], loss))
         return new, loss
+
+    def step(state, batch):
+        return _step(state, batch, base_dit_params)
 
     return step, encode
 

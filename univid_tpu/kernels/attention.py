@@ -179,15 +179,18 @@ def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
     at (256, 512) vs 67% at (1024, 1024) — softmax VPU overhead and m/l
     correction steps amortize over larger tiles. (2048, 2048) exceeds
     VMEM."""
-    if _backend() == "xla":
+    b, lq, n, d = q.shape
+    lk = k.shape[1]
+    # head dims that aren't lane-multiples (e.g. SigLIP so400m d=72)
+    # would be padded to 128 inside the Pallas kernel — 44% wasted MXU
+    # and VPU work; XLA handles the odd geometry better, and at these
+    # tower sizes (<=1k tokens) the materialized-scores memory is fine
+    if _backend() == "xla" or d % 128 != 0:
         return mha_reference(
             q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len,
             q_segments=q_segments, kv_segments=kv_segments,
             softmax_scale=softmax_scale, packed_mode=packed_mode,
             q_offsets=q_offsets)
-
-    b, lq, n, d = q.shape
-    lk = k.shape[1]
     if block_q is None:
         if lq >= 4096:
             # 2048 is ~3% faster than 1024 on v5e but only worth it when

@@ -123,12 +123,15 @@ def measure(model: str, w: int, h: int, frames: int, steps_measured: int,
                              jnp.bfloat16)
 
     kw = dict(size=(w, h), frame_num=frames, sampling_steps=steps_measured,
-              seed=0, decode=False)
-    x0 = pipe.generate(ctx, nctx, **kw)      # compile
-    x0.block_until_ready()
+              decode=False)
+    # warmup uses a different seed and the timed run is completed via a
+    # host fetch (see decode note below: identical repeat calls and bare
+    # block_until_ready can both under-report on remote backends)
+    x0 = pipe.generate(ctx, nctx, seed=1, **kw)      # compile
+    float(jnp.asarray(x0).ravel()[0])
     t0 = time.perf_counter()
-    x0 = pipe.generate(ctx, nctx, **kw)
-    x0.block_until_ready()
+    x0 = pipe.generate(ctx, nctx, seed=0, **kw)
+    float(jnp.asarray(x0).ravel()[0])
     per_step = (time.perf_counter() - t0) / steps_measured
 
     n_params = unn.count_params(dit_params)
@@ -146,11 +149,17 @@ def measure(model: str, w: int, h: int, frames: int, steps_measured: int,
         vae_params = jax.device_put(vae_params, jax.devices()[0])
         try:
             dec = jax.jit(lambda vp, z: vae_decode(vp, spec.vae, z))
-            video = dec(vae_params, x0)
-            video.block_until_ready()
+            # warmup on a DIFFERENT input and force completion via a
+            # host fetch: repeated identical calls can be served from a
+            # live result buffer on some backends, and block_until_ready
+            # alone has been observed not to await remote completion —
+            # either would report a phantom ~0 s decode
+            video = dec(vae_params, jnp.zeros_like(x0))
+            float(np.asarray(video[0, -1, -1, -1, 0]))
+            del video
             t0 = time.perf_counter()
             video = dec(vae_params, x0)
-            video.block_until_ready()
+            float(np.asarray(video[0, -1, -1, -1, 0]))
             t_decode = time.perf_counter() - t0
             del video
         except Exception as e:  # noqa: BLE001 — report denoise-only

@@ -115,3 +115,35 @@ def test_dpm_solver_runs(pipe):
                       frame_num=5, sampling_steps=4, seed=7,
                       sample_solver="dpm++", decode=False)
     assert np.isfinite(np.asarray(v)).all()
+
+
+def test_taylorseer_threshold1_exact(pipe):
+    """fresh_threshold=1 makes every step a full DiT forward — the
+    cached path must reproduce the plain loop bit-for-bit (the same
+    exact-at-threshold-1 pin the BAGEL-side TaylorSeer tests carry)."""
+    spec = pipe.spec
+    ctx, nctx = _ctx(spec, 0), _ctx(spec, 1)
+    kw = dict(size=(32, 32), frame_num=5, sampling_steps=6, seed=3,
+              decode=False)
+    base = np.asarray(pipe.generate(ctx, nctx, **kw))
+    ts1 = np.asarray(pipe.generate(ctx, nctx, taylorseer_threshold=1,
+                                   **kw))
+    np.testing.assert_array_equal(base, ts1)
+
+
+def test_taylorseer_threshold3_bounded(pipe):
+    """threshold=3 skips DiT forwards (Taylor-extrapolated velocity);
+    the result differs from the exact loop but stays finite and in the
+    same range — the quality/speed tradeoff knob, off by default."""
+    spec = pipe.spec
+    ctx, nctx = _ctx(spec, 0), _ctx(spec, 1)
+    kw = dict(size=(32, 32), frame_num=5, sampling_steps=8, seed=3,
+              decode=False)
+    base = np.asarray(pipe.generate(ctx, nctx, **kw))
+    ts3 = np.asarray(pipe.generate(ctx, nctx, taylorseer_threshold=3,
+                                   **kw))
+    assert np.isfinite(ts3).all()
+    assert not np.array_equal(base, ts3)  # it does skip forwards
+    # extrapolation error stays bounded at tiny scale
+    denom = np.abs(base).mean() + 1e-6
+    assert np.abs(ts3 - base).mean() / denom < 1.0

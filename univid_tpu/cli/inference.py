@@ -48,6 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--transition_ratio", type=float, default=0.4)
     p.add_argument("--prompt", type=str, default=None)
     p.add_argument("--shift", type=float, default=5.0)
+    p.add_argument("--taylorseer", type=int, default=0,
+                   help="TaylorSeer step-cache refresh threshold for the "
+                        "denoise loop (0 = off, the parity default; 3 = "
+                        "the reference's BAGEL-side setting — full DiT "
+                        "forward every 3rd step, Taylor-extrapolated "
+                        "velocity between; quality/speed tradeoff)")
     p.add_argument("--solver", type=str, default="unipc",
                    choices=["unipc", "dpm++", "dpm++3"])
     # TPU-specific
@@ -269,7 +275,8 @@ def main(argv=None):
         gen_kwargs = dict(
             size=size, frame_num=frames, shift=args.shift,
             sample_solver=args.solver, sampling_steps=args.steps,
-            guide_scale=args.guidance, seed=args.seed)
+            guide_scale=args.guidance, seed=args.seed,
+            taylorseer_threshold=args.taylorseer)
         t0 = time.time()
         with trace("generate"):
             if fusion is not None:

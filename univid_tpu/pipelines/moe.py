@@ -179,10 +179,16 @@ class WanMoEPipeline:
         img: Optional[jnp.ndarray] = None,  # [H, W, 3] in [-1, 1], i2v
         tma: Optional[TMAConfig] = None,
         decode: bool = True,
+        taylorseer_threshold: int = 0,
     ):
         """Video [T, H, W, 3] in [-1, 1] (or latent when decode=False).
         guide_scale may be (low_noise, high_noise) like the reference
         (image2video.py:257-258)."""
+        if taylorseer_threshold > 0:
+            raise NotImplementedError(
+                "TaylorSeer step caching is wired for the TI2V pipeline; "
+                "the dual-expert MoE denoise switches models mid-schedule "
+                "and would need per-expert caches")
         spec = self.spec
         if shift is None:
             shift = spec.generation.shift

@@ -96,14 +96,39 @@ class WanTI2VPipeline:
     @functools.lru_cache(maxsize=8)
     def _denoise_fn(self, latent_grid: Tuple[int, int, int], seq_len: int,
                     steps: int, shift: float, guide_scale: float,
-                    solver: str, i2v: bool, tma_key):
-        """Build + jit the scan-based denoise loop for a static shape."""
+                    solver: str, i2v: bool, tma_key,
+                    taylorseer_threshold: int = 0):
+        """Build + jit the scan-based denoise loop for a static shape.
+
+        taylorseer_threshold > 1 enables TaylorSeer step caching on the
+        DiT velocity: full forwards on refresh steps, order-k Taylor
+        extrapolation between (ops/taylorseer.py — the reference wires
+        this only for BAGEL image gen, cache_utils/taylorseer.py +
+        bagel.py:680-689; extending it to the Wan denoise loop is the
+        same math over the batch-2 CFG velocity, one cache per CFG
+        branch by construction). threshold=1 degenerates to all-full
+        steps (exact); 0 disables the machinery entirely."""
         spec = self.spec
         cfg = spec.dit
         gen = GenerationConfig(sampling_steps=steps, shift=shift,
                                guide_scale=guide_scale, sample_solver=solver)
         sigmas, coeffs, step_fn = self._solver(gen)
         arrs = coeffs.device_arrays()
+
+        use_ts = taylorseer_threshold > 0
+        if use_ts:
+            from ..ops.taylorseer import (TaylorSeerConfig,
+                                          init_taylor_cache,
+                                          taylor_predict, taylor_update,
+                                          taylorseer_schedule)
+            ts_cfg = TaylorSeerConfig(
+                fresh_threshold=taylorseer_threshold)
+            sched = taylorseer_schedule(steps, ts_cfg)
+            arrs["ts_full"] = jnp.asarray(sched["is_full"])
+            arrs["ts_dd"] = jnp.asarray(sched["dd"])
+            arrs["ts_x"] = jnp.asarray(sched["x"])
+            arrs["ts_n_upd"] = jnp.asarray(sched["n_upd"])
+            arrs["ts_n_stored"] = jnp.asarray(sched["n_stored"])
 
         tma_cfg = TMAConfig(**dict(tma_key)) if tma_key else None
         if tma_cfg is not None and tma_cfg.enabled:
@@ -142,30 +167,60 @@ class WanTI2VPipeline:
             state = unipc_init_state(latents,
                                      order=coeffs.pred_m.shape[1])
 
-            def body(state, xs):
+            def dit_v(sample, xs):
                 ctx = ctx_pair
                 if tma_prefix > 0:
                     ctx = apply_text_weight(ctx, xs["tma_w"], tma_prefix)
-                x2 = jnp.broadcast_to(
-                    state["sample"].astype(jnp.float32),
-                    (2,) + state["sample"].shape[1:])
+                x2 = jnp.broadcast_to(sample.astype(jnp.float32),
+                                      (2,) + sample.shape[1:])
                 t2 = jnp.full((2,), xs["timestep"], jnp.float32)
                 if self.sp_size > 1:
-                    v = wan_dit_forward_sp(
+                    return wan_dit_forward_sp(
                         dit_params, cfg, x2, t2, ctx, rope_cos, rope_sin,
                         mesh=self.mesh, t_zero_mask=t_zero,
                         seq_pad_to=seq_len, policy=self.policy)
-                else:
-                    v = wan_dit_forward(
-                        dit_params, cfg, x2, t2, ctx, rope_cos, rope_sin,
-                        t_zero_mask=t_zero, seq_pad_to=seq_len,
-                        policy=self.policy)
-                v_guided = v[1:2] + guide_scale * (v[0:1] - v[1:2])
-                state = step_fn(state, xs, v_guided)
-                state = dict(state, sample=clamp(state["sample"]))
-                return state, None
+                return wan_dit_forward(
+                    dit_params, cfg, x2, t2, ctx, rope_cos, rope_sin,
+                    t_zero_mask=t_zero, seq_pad_to=seq_len,
+                    policy=self.policy)
 
-            state, _ = jax.lax.scan(body, state, arrs)
+            if use_ts:
+                def body(carry, xs):
+                    state, factors = carry
+
+                    def full_branch(args):
+                        sample, factors, xs = args
+                        v = dit_v(sample, xs)
+                        return v, taylor_update(factors, v, xs["ts_dd"],
+                                                xs["ts_n_upd"])
+
+                    def taylor_branch(args):
+                        _, factors, xs = args
+                        v = taylor_predict(
+                            factors, xs["ts_x"],
+                            xs["ts_n_stored"]).astype(jnp.float32)
+                        return v, factors
+
+                    v, factors = jax.lax.cond(
+                        xs["ts_full"] > 0, full_branch, taylor_branch,
+                        (state["sample"], factors, xs))
+                    v_guided = v[1:2] + guide_scale * (v[0:1] - v[1:2])
+                    state = step_fn(state, xs, v_guided)
+                    state = dict(state, sample=clamp(state["sample"]))
+                    return (state, factors), None
+
+                factors0 = init_taylor_cache((2,) + latents.shape[1:])
+                (state, _), _ = jax.lax.scan(body, (state, factors0),
+                                             arrs)
+            else:
+                def body(state, xs):
+                    v = dit_v(state["sample"], xs)
+                    v_guided = v[1:2] + guide_scale * (v[0:1] - v[1:2])
+                    state = step_fn(state, xs, v_guided)
+                    state = dict(state, sample=clamp(state["sample"]))
+                    return state, None
+
+                state, _ = jax.lax.scan(body, state, arrs)
             return state["sample"]
 
         return jax.jit(run)
@@ -186,6 +241,7 @@ class WanTI2VPipeline:
         img: Optional[jnp.ndarray] = None,   # [H, W, 3] in [-1, 1]
         tma: Optional[TMAConfig] = None,
         decode: bool = True,
+        taylorseer_threshold: int = 0,
     ):
         """Returns video [T, H, W, 3] in [-1,1] (or the latent if
         decode=False). Matches WanTI2V.generate defaults
@@ -210,7 +266,8 @@ class WanTI2VPipeline:
         tma_key = (tuple(sorted(dataclasses.asdict(tma).items()))
                    if tma is not None else None)
         fn = self._denoise_fn((f, h, w), seq_len, sampling_steps, shift,
-                              guide_scale, sample_solver, i2v, tma_key)
+                              guide_scale, sample_solver, i2v, tma_key,
+                              taylorseer_threshold)
         x0 = fn(self.dit_params, noise, context[None], context_null[None],
                 z0)
         if not decode:

@@ -258,3 +258,84 @@ def test_t2i_from_parquet(tmp_path):
     for s in samples:
         assert s["sequence_plan"][1]["type"] == "vae_image"
         assert s["image_list"][0].dtype == np.float32
+
+
+def test_dataset_registry_yaml_groups(tmp_path):
+    """DATASET_REGISTRY + YAML group config -> PackedDataset groups
+    (reference dataset_info.py:9-14 + config/example.yaml consumed at
+    dataset_base.py:130-170)."""
+    import io
+    from PIL import Image
+    from univid_tpu.data.registry import load_data_groups
+
+    # t2i dataset: in-memory records with encoded image bytes
+    buf = io.BytesIO()
+    Image.fromarray(np.full((32, 32, 3), 150, np.uint8)).save(buf, "PNG")
+    t2i_records = [{"image": buf.getvalue(),
+                    "captions": {"short": "a gray square"}}] * 3
+
+    # vlm dataset: jsonl + image dir
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.fromarray(np.full((40, 30, 3), 128, np.uint8)).save(
+        str(img_dir / "a.png"))
+    jp = tmp_path / "d.jsonl"
+    with open(jp, "w") as f:
+        f.write(json.dumps({"image": "a.png", "conversations": [
+            {"from": "human", "value": "<image> what is this?"},
+            {"from": "gpt", "value": "a gray square"}]}) + "\n")
+
+    yaml_text = f"""
+t2i_pretrain:
+  dataset_names:
+  - toy_t2i
+  image_transform_args:
+    image_stride: 16
+    max_image_size: 32
+    min_image_size: 16
+  is_mandatory: true
+  weight: 2
+vlm_sft:
+  dataset_names:
+  - toy_vlm
+  image_transform_args:
+    image_stride: 14
+    max_image_size: 56
+    min_image_size: 28
+  is_mandatory: false
+  weight: 1
+"""
+    cfg_path = tmp_path / "data.yaml"
+    cfg_path.write_text(yaml_text)
+
+    def latent_fn(pix):
+        return np.ascontiguousarray(
+            pix[::8, ::8, :1].repeat(4, -1)).astype(np.float32)
+
+    info = {
+        "t2i_pretrain": {"toy_t2i": {"records": t2i_records}},
+        "vlm_sft": {"toy_vlm": {"jsonl_path": str(jp),
+                                "image_dir": str(img_dir)}},
+    }
+    groups = load_data_groups(str(cfg_path), _Tok(), info,
+                              latent_fn=latent_fn)
+    assert [(w, m) for _, w, m in groups] == [(2.0, True), (1.0, False)]
+
+    packed = PackedDataset(
+        groups,
+        data_config=PackedDataConfig(max_latent_size=8, bos_token_id=190,
+                                     eos_token_id=191, start_of_image=192,
+                                     end_of_image=193),
+        expected_num_tokens=64, max_num_tokens=512)
+    batch = next(iter(packed))
+    # mandatory t2i group present -> vae latent tokens in the pack
+    assert "packed_latent_clean" in batch
+    assert batch["sample_lens"]
+
+    # unknown group name / missing info fail loudly
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        load_data_groups({"nope": {"dataset_names": ["x"]}}, _Tok(), {})
+    with _pytest.raises(KeyError):
+        load_data_groups(
+            {"t2i_pretrain": {"dataset_names": ["absent"]}}, _Tok(), {})

@@ -220,3 +220,25 @@ def test_attention_custom_vjp_wiring_with_padding():
     for a, b_, name in zip(got, ref, ("dq", "dk", "dv")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_softmax_bf16_variant_close():
+    """Opt-in bf16-softmax kernel (exp2 on bf16 after max-subtraction):
+    measured +4-5% on the v5e 33k shape, mean rel err ~0.2% vs the f32
+    softmax — same order as the bf16 PV matmul. Off by default."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from univid_tpu.kernels.flash_attention import flash_attention_padded
+
+    b, l, n, d = 1, 256, 2, 128
+    q, k, v = (jax.random.normal(kk, (b, l, n, d), jnp.float32)
+               for kk in jax.random.split(jax.random.PRNGKey(0), 3))
+    base = flash_attention_padded(q, k, v, block_q=128, block_k=128,
+                                  interpret=True)
+    bf = flash_attention_padded(q, k, v, block_q=128, block_k=128,
+                                interpret=True, softmax_bf16=True)
+    rel = (np.abs(np.asarray(base) - np.asarray(bf)).mean()
+           / np.abs(np.asarray(base)).mean())
+    assert rel < 0.02, rel

@@ -55,6 +55,7 @@ def _flash_kernel(
     has_segments: bool,
     packed_mode: bool,
     save_residuals: bool,
+    softmax_bf16: bool,
 ):
     idx = 0
     scalar_ref = None
@@ -140,10 +141,20 @@ def _flash_kernel(
         m_prev = m_scr[:, :1]                       # [bq, 1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp2(s - m_new)                     # [bq, bk]
+        if softmax_bf16:
+            # exp2 on bf16 halves the VPU width of the dominant
+            # transcendental; max-subtraction bounds the argument to
+            # <= 0 so bf16's 8-bit mantissa costs ~0.4% on p — the
+            # same order as the bf16 PV matmul the kernel already does
+            p = jnp.exp2((s - m_new).astype(jnp.bfloat16))
+            p_sum = jnp.sum(p.astype(jnp.float32), axis=-1,
+                            keepdims=True)
+        else:
+            p = jnp.exp2(s - m_new)                 # [bq, bk]
+            p_sum = jnp.sum(p, axis=-1, keepdims=True)
         corr = jnp.exp2(m_prev - m_new)             # [bq, 1]
 
-        l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        l_new = l_scr[:, :1] * corr + p_sum
         acc = acc_scr[:] * corr + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -185,6 +196,7 @@ def flash_attention_padded(
     packed_mode: bool = False,
     q_offsets: Optional[jnp.ndarray] = None,    # [B] int32 dynamic causal
     save_residuals: bool = False,
+    softmax_bf16: bool = False,
 ) -> jnp.ndarray:
     if interpret is None:
         interpret = _INTERPRET
@@ -248,7 +260,8 @@ def flash_attention_padded(
         num_heads=n, block_q=block_q, block_k=block_k, causal=causal,
         q_offset=q_offset, has_scalars=has_scalars, has_kv_len=has_kv_len,
         has_q_offsets=has_q_offsets, has_segments=has_segments,
-        packed_mode=packed_mode, save_residuals=save_residuals)
+        packed_mode=packed_mode, save_residuals=save_residuals,
+        softmax_bf16=softmax_bf16)
 
     scratch_shapes = [
         pltpu.VMEM((block_q, 128), jnp.float32),  # running max

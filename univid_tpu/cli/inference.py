@@ -35,6 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--guidance", type=float, default=5.0)
+    p.add_argument("--use_lora", action="store_true",
+                   help="merge a trained Wan-DiT LoRA (save_lora dir) "
+                        "into the denoiser at load time")
+    p.add_argument("--lora_path", type=str,
+                   default="./lora_checkpoints/best")
     p.add_argument("--bagel_strength", type=float, default=1.0,
                    help="BAGEL fusion strength (0=no BAGEL, 1=full BAGEL)")
     p.add_argument("--video_length", type=int, default=None)
@@ -137,6 +142,17 @@ def build_pipeline(args):
         text_enc = WanTextEncoder.random_init(spec)
     else:
         raise SystemExit("pass --checkpoint_dir or --mock_weights")
+
+    if args.use_lora:
+        # trained Wan-DiT LoRA merged at load time (reference
+        # inference.py --use_lora/--lora_path -> LoRAManager.load +
+        # merge, model_pipeline.py:601-720)
+        from ..train.lora import load_lora, merge_lora
+        lora, _ = load_lora(args.lora_path)
+        if moe:
+            dit_params = tuple(merge_lora(p, lora) for p in dit_params)
+        else:
+            dit_params = merge_lora(dit_params, lora)
 
     if moe:
         from ..pipelines.moe import WanMoEPipeline

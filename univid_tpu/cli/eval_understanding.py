@@ -45,6 +45,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--mock_weights", action="store_true",
                    help="Random-init models (hermetic smoke run)")
+    # accepted-for-compatibility no-ops: the reference's CUDA device
+    # placement / torchrun DDP ranker subprocess / accelerate offload
+    # knobs (eval_understanding.py:40-46,61-63) have no TPU role — the
+    # frame ranker is an in-process sharded-jit scorer and placement is
+    # mesh-driven. Kept so reference invocations run unchanged.
+    p.add_argument("--device", default=None,
+                   help="(no-op on TPU; kept for compatibility)")
+    p.add_argument("--no_ddp_ranker", action="store_true",
+                   help="(no-op: the TPU ranker is always in-process)")
+    p.add_argument("--ddp_ranker", default=None,
+                   help="(no-op; kept for compatibility)")
+    p.add_argument("--nproc", type=int, default=4,
+                   help="(no-op; kept for compatibility)")
+    p.add_argument("--max_mem_per_gpu", default=None,
+                   help="(no-op; kept for compatibility)")
+    p.add_argument("--offload_folder", default=None,
+                   help="(no-op; kept for compatibility)")
+    p.add_argument("--print_plan", action="store_true",
+                   help="(No-op) kept for compatibility")
     return p
 
 

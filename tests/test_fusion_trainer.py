@@ -231,3 +231,16 @@ def test_diffusion_objective_loop_trains_lora(tmp_path):
     assert out["steps"] == 6
     # best checkpoint saved on improvement (not only at save_interval)
     assert os.path.exists(tmp_path / "run" / "best" / "train_state.npz")
+
+    # trained adapter exported in the save_lora format that the
+    # inference CLI's --use_lora consumes: round-trips through
+    # load_lora + merge_lora and changes the targeted weights
+    from univid_tpu.train.lora import load_lora, merge_lora
+    lora_dir = str(tmp_path / "run" / "lora_best")
+    assert os.path.exists(os.path.join(lora_dir, "lora_weights.npz"))
+    trained, tcfg2 = load_lora(lora_dir)
+    assert tcfg2.rank == 2
+    merged = merge_lora(base, trained)
+    w0 = np.asarray(base["blocks"]["cross_attn"]["q"]["w"])
+    w1 = np.asarray(merged["blocks"]["cross_attn"]["q"]["w"])
+    assert not np.array_equal(w0, w1)

@@ -332,5 +332,15 @@ def train_cross_attention_fusion(
             break  # empty dataset
 
     save_train_state(ckpt_dir, state)
+    if train_cfg.train_lora and lora_template is not None:
+        # export the trained adapter in the save_lora format the
+        # inference CLI consumes (--use_lora/--lora_path; reference
+        # saves lora_weights + lora_config the same way,
+        # model_pipeline.py:601-720)
+        from .lora import save_lora, with_sites
+        trained = with_sites(lora_template, state["trainable"]["lora"])
+        save_lora(os.path.join(output_dir, "lora_best"), trained,
+                  lora_cfg or LoRAConfig())
+        log(f"exported LoRA adapter to {output_dir}/lora_best")
     return {"steps": int(state["step"]),
             "best_loss": float(state["best_loss"]), "losses": losses}

@@ -98,10 +98,16 @@ def measure(model: str, w: int, h: int, frames: int, steps_measured: int,
         # init on HOST: the VAE weights must not occupy HBM during the
         # denoise phase (10 GB 5B DiT + VAE exceeds the 16 GB v5e);
         # they move to the device after the DiT is released
+        # zeros instead of random init: the decode TIMING is value-
+        # independent (same convs/FLOPs), and the 5B random init costs
+        # 60+ s of single-threaded host RNG per bench subprocess
         cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
-            vae_params = init_wan_vae(jax.random.PRNGKey(1), spec.vae,
-                                      param_dtype=jnp.bfloat16)
+            shapes = jax.eval_shape(
+                lambda: init_wan_vae(jax.random.PRNGKey(1), spec.vae,
+                                     param_dtype=jnp.bfloat16))
+            vae_params = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
     sp = int(os.environ.get("BENCH_SP", "1"))
     if sp > 1:

@@ -91,8 +91,16 @@ def measure(model: str, w: int, h: int, frames: int, steps_measured: int,
         if os.environ.get("BENCH_BF16_RESIDUAL", "0") != "0" \
         else DEFAULT_POLICY
     spec = WAN_CONFIGS[model]
-    dit_params = init_wan_dit(jax.random.PRNGKey(0), spec.dit,
-                              param_dtype=jnp.bfloat16)
+    # zeros DiT weights, materialized by ONE jitted program: denoise
+    # TIMING is weight-value-independent (identical convs/matmuls/
+    # attention program; TPUs have no denormal stalls), while the
+    # eager per-leaf random init costs minutes of per-dispatch latency
+    # on remote backends for the 5B tree
+    dit_shapes = jax.eval_shape(
+        lambda: init_wan_dit(jax.random.PRNGKey(0), spec.dit,
+                             param_dtype=jnp.bfloat16))
+    dit_params = jax.jit(lambda: jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), dit_shapes))()
     vae_params = None
     if decode:
         # init on HOST: the VAE weights must not occupy HBM during the

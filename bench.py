@@ -216,7 +216,7 @@ def main():
     if "est_mfu" in r:
         detail["est_mfu"] = r["est_mfu"]
 
-    def _sub_bench(extra_env: dict, timeout_s: int = 1500):
+    def _sub_bench(extra_env: dict, timeout_s: int = 3600):
         """Run this script (or a tool) in a fresh process so the parent
         model's HBM is fully released before the 10 GB 5B weights land
         on the 16 GB v5e; returns the parsed last-line JSON."""

@@ -151,10 +151,19 @@ def compare(args):
     dmeta_path = os.path.join(args.dump, "meta.json")
     dmeta = json.load(open(dmeta_path)) if os.path.exists(dmeta_path) \
         else {}
+    missing_in_golden = []
     for name in STAGES:
         gp = os.path.join(args.golden, f"{name}.npz")
         dp = os.path.join(args.dump, f"{name}.npz")
         if not os.path.exists(gp):
+            # a stage present in the dump but absent from the golden dir
+            # means the golden set is incomplete — surface it so a
+            # truncated golden directory can't masquerade as full parity
+            if os.path.exists(dp):
+                missing_in_golden.append(name)
+                results[name] = {"ok": False,
+                                 "error": "missing in golden"}
+                ok = False
             continue
         if not os.path.exists(dp):
             results[name] = {"ok": False, "error": "missing in dump"}
@@ -183,6 +192,7 @@ def compare(args):
         results["vae_psnr_delta_db"] = round(dpsnr, 3)
         ok &= dpsnr <= args.psnr_tol_db
     print(json.dumps({"cmd": "compare", "ok": bool(ok),
+                      "missing_in_golden": missing_in_golden,
                       "stages": results}))
     return 0 if ok else 1
 

@@ -29,6 +29,22 @@ from .interleave_datasets import UnifiedEditIterableDataset
 from .transforms import ImageTransform
 
 
+def _paired_nums(group_cfg) -> List:
+    """dataset_names zipped against num_used_data, length-checked: a
+    short num_used_data list (config typo) would otherwise silently
+    drop the trailing datasets from the group via zip truncation."""
+    names = group_cfg["dataset_names"]
+    nums = group_cfg.get("num_used_data")
+    if nums is None:
+        return [None] * len(names)
+    if len(nums) != len(names):
+        raise ValueError(
+            f"num_used_data has {len(nums)} entries for "
+            f"{len(names)} dataset_names ({list(names)}); lengths "
+            "must match (or omit num_used_data to use all rows)")
+    return list(nums)
+
+
 def _transform(args: Optional[Dict], defaults: Dict) -> ImageTransform:
     a = dict(defaults, **(args or {}))
     return ImageTransform(
@@ -51,8 +67,7 @@ def _build_t2i(group_cfg, infos, tokenizer, latent_fn, local_rank,
     paths: List[str] = []
     records: List = []
     for name, num in zip(group_cfg["dataset_names"],
-                         group_cfg.get("num_used_data") or
-                         [None] * len(group_cfg["dataset_names"])):
+                         _paired_nums(group_cfg)):
         info = infos[name]
         if "parquet_paths" in info:
             pp = list(info["parquet_paths"])
@@ -112,8 +127,7 @@ def _build_edit(group_cfg, infos, tokenizer, latent_fn, local_rank,
                                _VIT_TRANSFORM_DEFAULTS)
     records: List = []
     for name, num in zip(group_cfg["dataset_names"],
-                         group_cfg.get("num_used_data") or
-                         [None] * len(group_cfg["dataset_names"])):
+                         _paired_nums(group_cfg)):
         rr = list(infos[name]["records"])
         records.extend(rr if num is None else rr[:num])
 

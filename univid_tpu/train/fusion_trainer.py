@@ -336,9 +336,17 @@ def train_cross_attention_fusion(
         # export the trained adapter in the save_lora format the
         # inference CLI consumes (--use_lora/--lora_path; reference
         # saves lora_weights + lora_config the same way,
-        # model_pipeline.py:601-720)
+        # model_pipeline.py:601-720). Export the BEST-loss adapter, not
+        # the loop-exit one: the reference persists weights on every
+        # improvement (model_pipeline.py:3389-3392), so 'lora_best' must
+        # come from best/train_state.npz when an improvement was saved.
         from .lora import save_lora, with_sites
-        trained = with_sites(lora_template, state["trainable"]["lora"])
+        best_dir = os.path.join(output_dir, "best")
+        export_state = state
+        if os.path.exists(os.path.join(best_dir, "train_state.npz")):
+            export_state = load_train_state(best_dir, state)
+        trained = with_sites(lora_template,
+                             export_state["trainable"]["lora"])
         save_lora(os.path.join(output_dir, "lora_best"), trained,
                   lora_cfg or LoRAConfig())
         log(f"exported LoRA adapter to {output_dir}/lora_best")

@@ -120,9 +120,10 @@ def _zero_cot(x):
     return np.zeros(x.shape, jax.dtypes.float0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
 def _flash(q, k, v, kv_len, q_segments, kv_segments, q_offsets,
-           causal, q_offset, softmax_scale, block_q, block_k, packed_mode):
+           causal, q_offset, softmax_scale, block_q, block_k, packed_mode,
+           softmax_bf16):
     """Differentiable Pallas flash attention over PADDED inputs.
 
     Forward = the plain kernel; the VJP rule re-runs the forward with
@@ -134,16 +135,20 @@ def _flash(q, k, v, kv_len, q_segments, kv_segments, q_offsets,
         q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len,
         q_segments=q_segments, kv_segments=kv_segments,
         softmax_scale=softmax_scale, block_q=block_q, block_k=block_k,
-        packed_mode=packed_mode, q_offsets=q_offsets)
+        packed_mode=packed_mode, q_offsets=q_offsets,
+        softmax_bf16=softmax_bf16)
 
 
 def _flash_fwd(q, k, v, kv_len, q_segments, kv_segments, q_offsets,
                causal, q_offset, softmax_scale, block_q, block_k,
-               packed_mode):
+               packed_mode, softmax_bf16):
     # the residual-saving forward carries an extra f32 lse output; at
     # block_q=2048 the fp32 [bq, bk] score tile + lse double-buffering
     # exceed the 16 MB scoped-VMEM budget (v5e), so cap the training
     # forward at 1024 — the inference primal keeps the larger tile
+    # the training forward keeps the fp32 softmax chain (softmax_bf16 is
+    # an inference knob; the backward recompute derives p from the fp32
+    # exp2-domain lse)
     bq = min(block_q, 1024)
     o, lse = flash_attention_padded(
         q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len,
@@ -154,7 +159,7 @@ def _flash_fwd(q, k, v, kv_len, q_segments, kv_segments, q_offsets,
 
 
 def _flash_bwd(causal, q_offset, softmax_scale, block_q, block_k,
-               packed_mode, res, g):
+               packed_mode, softmax_bf16, res, g):
     q, k, v, o, lse, kv_len, q_segments, kv_segments, q_offsets = res
     dq, dk, dv = flash_attention_bwd_padded(
         q, k, v, o, lse, g, causal=causal, q_offset=q_offset, kv_len=kv_len,
@@ -171,7 +176,7 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
               q_segments=None, kv_segments=None, softmax_scale=None,
               block_q=None, block_k=None, packed_mode=False,
-              q_offsets=None):
+              q_offsets=None, softmax_bf16=False):
     """Multi-head attention over [B, L, N, D] tensors.
 
     Default block sizes auto-tune by sequence length: the v5e sweep
@@ -224,5 +229,5 @@ def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
 
     o = _flash(q, k, v, kv_len, q_segments, kv_segments, q_offsets,
                causal, q_offset, softmax_scale, block_q, block_k,
-               packed_mode)
+               packed_mode, softmax_bf16)
     return o[:, :lq]

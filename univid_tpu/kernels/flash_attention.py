@@ -87,23 +87,19 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    # causal: skip fully-masked kv blocks (static offset only — with a
-    # dynamic per-batch offset every block may be live)
+    # causal: skip fully-masked kv blocks. With a static offset this is a
+    # compile-time grid predicate; with dynamic per-batch offsets it is a
+    # runtime scalar skip (still saves the whole block's matmul+softmax).
     run = True
-    if causal and not has_q_offsets:
+    if causal:
         first_masked_col = i_q * block_q + q_offset + block_q
+        if has_q_offsets:
+            first_masked_col = first_masked_col + scalar_ref[1, b]
         run = i_k * block_k < first_masked_col
 
-    @pl.when(run)
-    def _compute():
-        q = q_ref[0]  # [bq, d] — softmax scale pre-folded by the wrapper
-        k = k_ref[0]  # [bk, d]
-        v = v_ref[0]  # [bk, d]
-
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [bq, bk]
-
+    def _mask_scores_fwd(s, mask_kv):
+        """Mask ops for blocks that need them (same predicate as
+        `_mask_scores` used by the backward kernels)."""
         col = i_k * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
         if causal:
@@ -112,7 +108,7 @@ def _flash_kernel(
             if has_q_offsets:
                 row = row + scalar_ref[1, b]
             s = jnp.where(col <= row, s, NEG_INF)
-        if has_kv_len:
+        if has_kv_len and mask_kv:
             s = jnp.where(col < scalar_ref[0, b], s, NEG_INF)
         if has_segments:
             # qseg block [bq, 128] (lane-broadcast), kseg block [8, bk]
@@ -134,24 +130,36 @@ def _flash_kernel(
                 s = jnp.where(allowed, s, NEG_INF)
             else:
                 s = jnp.where(qs_full == ks_row, s, NEG_INF)
+        return s
+
+    def _compute(mask_kv, mask_causal):
+        q = q_ref[0]  # [bq, d] — softmax scale pre-folded by the wrapper
+        k = k_ref[0]  # [bk, d]
+        v = v_ref[0]  # [bk, d]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [bq, bk]
+
+        if mask_kv or mask_causal or has_segments:
+            s = _mask_scores_fwd(s, mask_kv)
 
         # softmax runs in the exp2 domain: log2(e) is folded into the
         # q scale by the wrapper, so exp2 here == exp of raw scores and
         # the VPU skips exp's per-element ln2 multiply.
-        m_prev = m_scr[:, :1]                       # [bq, 1]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
-        m_new = jnp.maximum(m_prev, m_cur)
         if softmax_bf16:
-            # exp2 on bf16 halves the VPU width of the dominant
-            # transcendental; max-subtraction bounds the argument to
-            # <= 0 so bf16's 8-bit mantissa costs ~0.4% on p — the
-            # same order as the bf16 PV matmul the kernel already does
-            p = jnp.exp2((s - m_new).astype(jnp.bfloat16))
-            p_sum = jnp.sum(p.astype(jnp.float32), axis=-1,
-                            keepdims=True)
-        else:
-            p = jnp.exp2(s - m_new)                 # [bq, bk]
-            p_sum = jnp.sum(p, axis=-1, keepdims=True)
+            # the whole [bq, bk]-wide softmax chain (max / sub / exp2)
+            # runs at half VPU width; max-subtraction bounds the exp2
+            # argument to ~<= 0 so bf16's 8-bit mantissa costs ~0.4% on
+            # p — the same order as the bf16 PV matmul below. Masked
+            # NEG_INF survives the cast (bf16 keeps fp32's exponent).
+            s = s.astype(jnp.bfloat16)
+        m_prev = m_scr[:, :1]                       # [bq, 1] fp32
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur.astype(jnp.float32))
+        p = jnp.exp2(s - m_new.astype(s.dtype))     # [bq, bk]
+        p_sum = jnp.sum(p, axis=-1, keepdims=True,
+                        dtype=jnp.float32)
         corr = jnp.exp2(m_prev - m_new)             # [bq, 1]
 
         l_new = l_scr[:, :1] * corr + p_sum
@@ -162,6 +170,35 @@ def _flash_kernel(
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
         acc_scr[:] = acc
+
+    # Interior blocks skip every mask op (the dominant case for the Wan
+    # self-attention hot path, where only the last kv block carries
+    # padding): branch on runtime scalars so only diagonal-intersecting
+    # causal blocks and kv_len-tail blocks pay the compare+select VPU
+    # passes over [bq, bk].
+    need = None
+    if causal:
+        row0 = i_q * block_q + q_offset
+        if has_q_offsets:
+            row0 = row0 + scalar_ref[1, b]
+        on_diag = (i_k + 1) * block_k > row0 + 1  # block not fully live
+        need = on_diag
+    if has_kv_len:
+        kv_tail = (i_k + 1) * block_k > scalar_ref[0, b]
+        need = kv_tail if need is None else (need | kv_tail)
+
+    if need is None:
+        @pl.when(run)
+        def _go():
+            _compute(has_kv_len, causal)
+    else:
+        @pl.when(run & need)
+        def _masked():
+            _compute(has_kv_len, causal)
+
+        @pl.when(run & jnp.logical_not(need))
+        def _clean():
+            _compute(False, False)
 
     @pl.when(i_k == nk - 1)
     def _finish():

@@ -7,8 +7,10 @@ Measures the two Pyramid Reflection hot paths on the current device:
     random weights, REAL compute shape.
   * caption: vmapped batch frame captioning (ViT append -> prefill ->
     AR decode) through the Qwen2-MoT stack at a stated LM scale
-    (default 1.5B-class so it fits one v5e with MoT expert twins;
-    BAGEL-7B needs the fsdp/tp sharding path and >1 chip).
+    (default ~3.3B total MoT params — the largest bf16 MoT that fits
+    one 16 GB v5e next to the SigLIP tower and per-frame KV caches;
+    BAGEL-7B itself (~14B with expert twins) needs the fsdp/tp sharding
+    path proven by __graft_entry__.dryrun_multichip's bagel_7b leg).
 
 Prints one JSON line. Not driver-facing (the driver contract is
 bench.py); run manually: `python tools/bench_qa.py`.
@@ -67,10 +69,10 @@ def bench_caption(n_frames: int, max_tokens: int):
     from univid_tpu.utils.tokenizers import HashTokenizer
 
     layers = int(os.environ.get("QA_LM_LAYERS", "28"))
-    hidden = int(os.environ.get("QA_LM_HIDDEN", "1536"))
+    hidden = int(os.environ.get("QA_LM_HIDDEN", "2048"))
     llm = Qwen2MoTConfig(vocab_size=32000, hidden_size=hidden,
                          intermediate_size=hidden * 4, num_layers=layers,
-                         num_heads=hidden // 128, num_kv_heads=2)
+                         num_heads=hidden // 128, num_kv_heads=4)
     cfg = BagelConfig(llm=llm, vit_hidden_size=1152, vit_patch_size=14,
                       start_of_image=31990, end_of_image=31991,
                       bos_token_id=31992, eos_token_id=31993)

@@ -3,13 +3,17 @@
 Flag-compatible with reference models/wan/utils/modules/animate/
 preprocess/preprocess_data.py:8-92 (video/refer/save paths,
 resolution_area, fps, replace/retarget flags, mask dilation params).
-The neural detector stages (ViTPose/YOLO ONNX, SAM2) are NOT bundled —
-pass real detectors programmatically via `main(argv, pose_fn=...,
-mask_fn=...)` (or use AnimatePreprocessPipeline directly);
---mock_detectors swaps in deterministic synthetic detectors so the full
-deterministic chain (resize, face crops, pose render, retarget, masks,
-src_* outputs) runs hermetically. --ckpt_path is accepted for flag
-compatibility and reserved for a future ONNX-runtime loader.
+Detector wiring: --ckpt_path constructs the in-repo ONNX pose driver
+(data/pose2d.py over the numpy ONNX executor in data/onnx_rt.py) from
+the published checkpoint layout `ckpt_path/pose2d/
+vitpose_h_wholebody.onnx` + `ckpt_path/det/yolov10m.onnx`
+(preprocess_data.py:99-105). SAM2 masks stay an injection seam —
+without a mask_fn, replacement mode falls back to pose-hull masks.
+Custom detectors can still be passed programmatically via
+`main(argv, pose_fn=..., mask_fn=...)`; --mock_detectors swaps in
+deterministic synthetic detectors so the full deterministic chain
+(resize, face crops, pose render, retarget, masks, src_* outputs)
+runs hermetically.
 """
 
 from __future__ import annotations
@@ -93,13 +97,24 @@ def main(argv=None, pose_fn=None, mask_fn=None):
 
     if args.mock_detectors:
         pose_fn, mask_fn = _mock_pose_fn, _mock_mask_fn
+    elif pose_fn is None and args.ckpt_path:
+        from ..data.pose2d import Pose2dDriver
+        pose_ckpt = os.path.join(args.ckpt_path, "pose2d",
+                                 "vitpose_h_wholebody.onnx")
+        det_ckpt = os.path.join(args.ckpt_path, "det", "yolov10m.onnx")
+        if not os.path.exists(pose_ckpt):
+            raise SystemExit(f"missing pose checkpoint: {pose_ckpt} "
+                             "(published layout: ckpt_path/pose2d/"
+                             "vitpose_h_wholebody.onnx)")
+        pose_fn = Pose2dDriver(
+            pose_ckpt, det_ckpt if os.path.exists(det_ckpt) else None)
     elif pose_fn is None:
         raise SystemExit(
-            "no detectors: ONNX ViTPose/YOLO/SAM2 are not bundled — run "
-            "with --mock_detectors for the hermetic chain, or call "
-            "main(argv, pose_fn=..., mask_fn=...) / use "
-            "univid_tpu.data.animate_preprocess.AnimatePreprocessPipeline "
-            "with real detector callables")
+            "no detectors: pass --ckpt_path <dir> with the published "
+            "ONNX checkpoints (pose2d/vitpose_h_wholebody.onnx, "
+            "det/yolov10m.onnx), run with --mock_detectors for the "
+            "hermetic chain, or call main(argv, pose_fn=..., "
+            "mask_fn=...) with custom detector callables")
 
     pipe = AnimatePreprocessPipeline(pose_fn, mask_fn)
     bundle = pipe(frames, refer,

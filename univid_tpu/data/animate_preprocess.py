@@ -118,6 +118,11 @@ def face_bbox_from_kps(kps_face: np.ndarray, scale: float,
         kp = kp[1:] * np.asarray([w, h], np.float32)
     mn, mx = kp.min(axis=0), kp.max(axis=0)
     iw, ih = mx - mn
+    # degenerate landmark boxes (coincident/collinear keypoints from a
+    # failed detection) would divide by zero below — fall back to a
+    # minimal square so the crop stays valid
+    iw = max(float(iw), 1.0)
+    ih = max(float(ih), 1.0)
     area = iw * ih * scale
     nw = math.sqrt(area * (iw / ih))
     nh = math.sqrt(area * (ih / iw))

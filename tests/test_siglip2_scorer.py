@@ -115,3 +115,41 @@ def test_rank_frames_uses_pretrained_signal(tiny_hf):
         v = torch.nn.functional.normalize(v, dim=-1)
         sims = (v @ t.T).squeeze(-1).numpy()
     assert list(np.argsort(-sims)[:3]) == idx
+
+
+def test_raw_uint8_preprocess_matches_hf_processor(tiny_hf):
+    """Processor-faithful host preprocessing: raw non-square uint8
+    frames through BOTH stacks' full preprocess (HF
+    SiglipImageProcessor resize(BICUBIC)+rescale+normalize vs
+    scorer._prep + on-device normalize) produce matching embeddings
+    and identical rank order (eval_understanding.py:171-206)."""
+    from transformers import SiglipImageProcessor
+
+    model, path = tiny_hf
+    parts = load_siglip2_checkpoint(path, vision_heads=2, text_heads=2)
+    vcfg = parts["vision_cfg"]
+    scorer = Siglip2Scorer(
+        vision_params=parts["vision"], vision_cfg=vcfg,
+        text_params=parts["text"], text_cfg=parts["text_cfg"],
+        map_head=parts["map_head"], image_size=vcfg.image_size)
+
+    proc = SiglipImageProcessor(
+        size={"height": vcfg.image_size, "width": vcfg.image_size})
+    rng = np.random.default_rng(7)
+    # smooth-ish frames: random low-res upsampled so bicubic matters
+    frames = []
+    for _ in range(4):
+        small = rng.integers(0, 255, (10, 16, 3), np.uint8)
+        big = np.kron(small, np.ones((4, 4, 1))).astype(np.uint8)
+        frames.append(big)  # [40, 64, 3] non-square
+
+    x = proc(images=[f for f in frames], return_tensors="pt")
+    with torch.no_grad():
+        ref = model.get_image_features(pixel_values=x["pixel_values"])
+    ref = torch.nn.functional.normalize(ref, dim=-1).numpy()
+
+    got = scorer.emb_imgs(frames)
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-3)
+    # rank order against a fixed query direction must match exactly
+    q = ref[0] + 0.01
+    assert list(np.argsort(-(got @ q))) == list(np.argsort(-(ref @ q)))

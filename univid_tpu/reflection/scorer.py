@@ -266,13 +266,24 @@ class Siglip2Scorer:
         return np.concatenate(outs, axis=0)
 
     def _prep(self, frame: np.ndarray) -> np.ndarray:
-        """Nearest-resize to [S, S, 3]. uint8 stays uint8 — it crosses
-        host->device 4x cheaper and is normalized to [-1, 1] on device
-        by _encode_image_batch; float input is already model-space and
-        passes through unchanged."""
+        """HF SiglipImageProcessor-faithful host preprocessing: PIL
+        BICUBIC square-stretch to [S, S, 3] in uint8 (the reference
+        ranks frames through AutoProcessor, eval_understanding.py:
+        171-206, whose fixed-size pipeline is resize(BICUBIC) ->
+        rescale 1/255 -> normalize(0.5, 0.5)). uint8 stays uint8 — it
+        crosses host->device 4x cheaper and the rescale+normalize pair
+        is exactly the (x/127.5 - 1) applied on device by
+        _encode_image_batch; float input is already model-space and is
+        nearest-resized (PIL float paths differ per mode)."""
         f = np.asarray(frame)
         h, w = f.shape[:2]
         s = self.image_size
+        if (h, w) == (s, s):
+            return f
+        if f.dtype == np.uint8 and f.ndim == 3 and f.shape[2] == 3:
+            from PIL import Image
+            return np.asarray(Image.fromarray(f).resize(
+                (s, s), Image.BICUBIC))
         yi = (np.arange(s) * h // s).clip(0, h - 1)
         xi = (np.arange(s) * w // s).clip(0, w - 1)
         return f[yi][:, xi]

@@ -482,10 +482,17 @@ def convert_bagel_llm(sd: Dict[str, np.ndarray], cfg, dtype=jnp.bfloat16,
 
 
 def load_wan_checkpoint(checkpoint_dir: str, spec: WanModelSpec,
-                        dtype=jnp.bfloat16):
-    """(dit_params, vae_params) from a reference Wan checkpoint dir."""
+                        dtype=jnp.bfloat16, strict: bool = True):
+    """(dit_params, vae_params) from a reference Wan checkpoint dir.
+
+    strict: audit key consumption — any source key the converter never
+    reads raises (a renamed/new checkpoint key would otherwise silently
+    leave part of the model random-init)."""
+    from .manifest import audited
     dit_sd = load_state_dict(checkpoint_dir)
-    dit_params = convert_wan_dit(dit_sd, spec.dit, dtype)
+    dit_params, _ = audited(
+        dit_sd, lambda sd: convert_wan_dit(sd, spec.dit, dtype),
+        strict=strict)
     vae_path = None
     for cand in ("Wan2.2_VAE.pth", "Wan2.1_VAE.pth", "vae.pth"):
         p = os.path.join(checkpoint_dir, cand)
@@ -494,7 +501,9 @@ def load_wan_checkpoint(checkpoint_dir: str, spec: WanModelSpec,
             break
     if vae_path is None:
         raise FileNotFoundError(f"no VAE checkpoint in {checkpoint_dir}")
-    vae_params = convert_wan_vae(load_state_dict(vae_path), spec.vae)
+    vae_params, _ = audited(
+        load_state_dict(vae_path),
+        lambda sd: convert_wan_vae(sd, spec.vae), strict=strict)
     return dit_params, vae_params
 
 
@@ -554,15 +563,22 @@ def load_projector_checkpoint(path: str, cfg, dtype=jnp.float32):
     }
 
 
-def load_bagel_checkpoint(model_path: str, dtype=jnp.bfloat16):
+def load_bagel_checkpoint(model_path: str, dtype=jnp.bfloat16,
+                          strict: bool = True):
     """BAGEL ema.safetensors + configs -> (params, cfg, siglip cfg/params,
-    tokenizer). Requires a real checkpoint directory."""
+    tokenizer). Requires a real checkpoint directory.
+
+    strict: the full ema key set must be consumed by the converters
+    (manifest.audited) — unread keys raise instead of silently leaving
+    model parts random-init."""
     from ..models.bagel.bagel import BagelConfig, init_bagel
     from ..models.bagel.qwen2_mot import Qwen2MoTConfig
     from ..models.bagel.siglip import SiglipConfig
     from ..utils.tokenizers import load_tokenizer
+    from .manifest import RecordingDict
 
-    sd = load_state_dict(os.path.join(model_path, "ema.safetensors"))
+    src = load_state_dict(os.path.join(model_path, "ema.safetensors"))
+    sd = RecordingDict(src)
     llm_cfg = Qwen2MoTConfig()
     cfg = BagelConfig(llm=llm_cfg)
     params = {
@@ -582,6 +598,14 @@ def load_bagel_checkpoint(model_path: str, dtype=jnp.bfloat16):
     scfg = SiglipConfig()
     sig_params = convert_siglip(sd, scfg, dtype,
                                 prefix="vit_model.vision_model")
+    leftover = sorted(set(src) - sd.consumed)
+    if leftover:
+        msg = (f"{len(leftover)} ema.safetensors keys not consumed "
+               f"(first 10: {leftover[:10]})")
+        if strict:
+            raise ValueError(msg + " — pass strict=False to downgrade")
+        import warnings
+        warnings.warn(msg)
     tokenizer = load_tokenizer(model_path)
     return params, cfg, scfg, sig_params, tokenizer
 

@@ -93,3 +93,64 @@ def test_dashscope_transport_envelope(monkeypatch):
     out = e2("a dog", tar_lang="en", seed=3)
     assert not out.status and out.prompt == "a dog"
     assert "no network" in out.message
+
+
+def test_local_vl_extend_with_img_plumbing():
+    """extend_with_img drives the VL processor contract (reference
+    prompt_extend.py:369-430): image in the user content list, chat
+    template -> processor(text, images) -> generate -> trim past the
+    prompt -> batch_decode."""
+    import numpy as np
+    import torch
+
+    from univid_tpu.utils.prompt_extend import QwenPromptExpander
+
+    calls = {}
+
+    class FakeProcessor:
+        def apply_chat_template(self, messages, tokenize,
+                                add_generation_prompt):
+            calls["messages"] = messages
+            return "TEMPLATED"
+
+        def __call__(self, text, images, padding, return_tensors):
+            calls["text"] = text
+            calls["images"] = images
+            return {"input_ids": torch.tensor([[1, 2, 3]])}
+
+        def batch_decode(self, seqs, skip_special_tokens,
+                         clean_up_tokenization_spaces):
+            return [" ".join(str(int(t)) for t in seqs[0])]
+
+    class FakeModel:
+        def generate(self, input_ids, max_new_tokens):
+            return torch.cat([input_ids,
+                              torch.tensor([[7, 8]])], dim=1)
+
+    exp = object.__new__(QwenPromptExpander)
+    exp.processor = FakeProcessor()
+    exp.model = FakeModel()
+    exp.max_new_tokens = 16
+    exp.task = "i2v-A14B"
+    exp.is_vl = True
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    out = exp.extend_with_img("a prompt", "SYS", image=img, seed=3)
+    assert out.status
+    assert out.prompt == "7 8"  # only the ids past the input decode
+    user = calls["messages"][1]
+    assert user["role"] == "user"
+    kinds = [c["type"] for c in user["content"]]
+    assert kinds == ["image", "text"]
+    from PIL import Image
+    assert isinstance(calls["images"][0], Image.Image)
+
+
+def test_local_vl_extend_with_img_requires_vl():
+    from univid_tpu.utils.prompt_extend import QwenPromptExpander
+
+    exp = object.__new__(QwenPromptExpander)
+    exp.processor = None
+    out = exp.extend_with_img("p", "SYS", image=None, seed=0)
+    assert not out.status
+    assert "is_vl" in out.message

@@ -187,16 +187,32 @@ class DashScopePromptExpander(PromptExpander):
 
 class QwenPromptExpander(PromptExpander):
     """Local HF Qwen2.5-Instruct expander (:233-430), torch CPU —
-    host-side preprocessing, not accelerator work."""
+    host-side preprocessing, not accelerator work.
+
+    is_vl=True loads a Qwen2.5-VL checkpoint instead (AutoProcessor +
+    AutoModelForVision2Seq) and enables the image-conditioned
+    `extend_with_img` path (reference prompt_extend.py:316-430) so i2v
+    --use_prompt_extend works fully offline-local."""
 
     def __init__(self, model_name: str, task: str = "t2v-A14B",
                  is_vl: bool = False, max_new_tokens: int = 512):
         super().__init__(model_name, task, is_vl)
-        from transformers import AutoModelForCausalLM, AutoTokenizer
-        self.tokenizer = AutoTokenizer.from_pretrained(
-            model_name, local_files_only=True)
-        self.model = AutoModelForCausalLM.from_pretrained(
-            model_name, local_files_only=True)
+        if is_vl:
+            from transformers import (AutoModelForVision2Seq,
+                                      AutoProcessor)
+            self.processor = AutoProcessor.from_pretrained(
+                model_name, local_files_only=True, use_fast=True)
+            self.model = AutoModelForVision2Seq.from_pretrained(
+                model_name, local_files_only=True)
+            self.tokenizer = getattr(self.processor, "tokenizer",
+                                     self.processor)
+        else:
+            from transformers import AutoModelForCausalLM, AutoTokenizer
+            self.tokenizer = AutoTokenizer.from_pretrained(
+                model_name, local_files_only=True)
+            self.model = AutoModelForCausalLM.from_pretrained(
+                model_name, local_files_only=True)
+            self.processor = None
         self.max_new_tokens = max_new_tokens
 
     def extend(self, prompt, system_prompt, seed=-1) -> PromptOutput:
@@ -214,6 +230,50 @@ class QwenPromptExpander(PromptExpander):
             expanded = self.tokenizer.decode(new,
                                              skip_special_tokens=True)
             return PromptOutput(True, expanded, seed, system_prompt, "ok")
+        except Exception as e:  # noqa: BLE001
+            return PromptOutput(False, prompt, seed, system_prompt,
+                                str(e))
+
+    def extend_with_img(self, prompt, system_prompt, image=None,
+                        seed=-1) -> PromptOutput:
+        """Image-conditioned expansion through the local VL processor
+        (reference extend_with_img, prompt_extend.py:369-430): the
+        image rides in the user turn's content list; the processor
+        handles its smart-resize; generated ids are trimmed past the
+        prompt before decode."""
+        import torch
+        if self.processor is None:
+            return PromptOutput(
+                False, prompt, seed, system_prompt,
+                "extend_with_img needs is_vl=True (a Qwen2.5-VL "
+                "checkpoint via --prompt_extend_model)")
+        try:
+            from PIL import Image
+            if isinstance(image, str):
+                image = Image.open(image).convert("RGB")
+            elif image is not None and not isinstance(image, Image.Image):
+                import numpy as _np
+                image = Image.fromarray(_np.asarray(image))
+            messages = [
+                {"role": "system",
+                 "content": [{"type": "text", "text": system_prompt}]},
+                {"role": "user",
+                 "content": [{"type": "image", "image": image},
+                             {"type": "text", "text": prompt}]},
+            ]
+            text = self.processor.apply_chat_template(
+                messages, tokenize=False, add_generation_prompt=True)
+            inputs = self.processor(text=[text], images=[image],
+                                    padding=True, return_tensors="pt")
+            torch.manual_seed(seed % (2 ** 31))
+            out = self.model.generate(**inputs,
+                                      max_new_tokens=self.max_new_tokens)
+            new = out[0][inputs["input_ids"].shape[1]:]
+            expanded = self.processor.batch_decode(
+                [new], skip_special_tokens=True,
+                clean_up_tokenization_spaces=False)[0]
+            return PromptOutput(True, expanded, seed, system_prompt,
+                                "ok")
         except Exception as e:  # noqa: BLE001
             return PromptOutput(False, prompt, seed, system_prompt,
                                 str(e))

@@ -291,6 +291,22 @@ def main():
         except Exception as e:  # noqa: BLE001
             detail["train_step_ms"] = {"error": str(e)[:200]}
 
+    if os.environ.get("BENCH_E2E", "1") != "0" and model != "ti2v-5B":
+        # full-pipeline row (the reference sec/video contract is the
+        # whole inference.py:525-720 entry): prompt -> tokenizer ->
+        # real-shape UMT5-XXL encode (4.7B, HBM-staged) -> REAL 50-step
+        # denoise -> decode -> mp4, encode itemized (tools/bench_e2e.py)
+        try:
+            ee = _sub_bench({"_SCRIPT": os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools",
+                "bench_e2e.py")})
+            detail["e2e"] = {k: ee[k] for k in
+                             ("e2e_sec_per_video", "encode_s",
+                              "denoise_plus_decode_s", "mux_s",
+                              "resolution", "steps")}
+        except Exception as e:  # noqa: BLE001
+            detail["e2e"] = {"error": str(e)[:200]}
+
     result = {
         "metric": f"sec_per_video_{h}p{frames}f_50step_{model}",
         "value": r["sec_per_video"],

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Numerical-fidelity sweep at the 480p operating point (1.3B, 50 steps).
+
+Quality gates for the two speed knobs (VERDICT r3 #1/#8):
+  * bf16 residual stream (BF16_RESIDUAL_POLICY) vs the fp32 default,
+  * TaylorSeer step caching at fresh_threshold 2/3/4 vs exact.
+
+Method: random-init 1.3B DiT + VAE (fixed seeds), fixed random context,
+full 50-step UniPC schedule at 832x480x81f; each variant's decoded
+video is compared against the fp32-exact baseline via PSNR (u8 domain)
+and latent relative error. Random weights measure the NUMERICAL
+approximation error of each knob through the real program at the real
+operating point; perceptual (VBench-style) validation additionally
+needs real checkpoints and is noted as such wherever these numbers are
+published.
+
+Prints ONE JSON line. Env: QS_W/H/FRAMES/STEPS to rescale,
+QS_THRESHOLDS (default "2,3,4").
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def psnr_u8(a: np.ndarray, b: np.ndarray) -> float:
+    a = ((np.clip(a, -1, 1) + 1) * 127.5).astype(np.float64)
+    b = ((np.clip(b, -1, 1) + 1) * 127.5).astype(np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(20 * np.log10(255.0) - 10 * np.log10(mse))
+
+
+def main():
+    from univid_tpu.core.config import WAN_CONFIGS
+    from univid_tpu.core.dtypes import (BF16_RESIDUAL_POLICY,
+                                        DEFAULT_POLICY)
+    from univid_tpu.models.wan.dit import init_wan_dit
+    from univid_tpu.models.wan.vae_api import init_wan_vae
+    from univid_tpu.pipelines.ti2v import WanTI2VPipeline
+
+    model = os.environ.get("QS_MODEL", "t2v-1.3B")
+    w = int(os.environ.get("QS_W", "832"))
+    h = int(os.environ.get("QS_H", "480"))
+    frames = int(os.environ.get("QS_FRAMES", "81"))
+    steps = int(os.environ.get("QS_STEPS", "50"))
+    thresholds = [int(t) for t in os.environ.get(
+        "QS_THRESHOLDS", "2,3,4").split(",") if t]
+    spec = WAN_CONFIGS[model]
+
+    def _init_dit(k):
+        p = init_wan_dit(k, spec.dit, param_dtype=jnp.bfloat16)
+        # init_wan_dit zero-inits the output head (DiT convention) —
+        # a pure random-init forward would be exactly 0 and every
+        # variant would trivially match; give the head a real scale
+        hw = p["head"]["head"]["w"]
+        p["head"]["head"]["w"] = 0.02 * jax.random.normal(
+            jax.random.fold_in(k, 99), hw.shape, hw.dtype)
+        return p
+
+    dit_params = jax.jit(_init_dit)(jax.random.PRNGKey(0))
+    vae_params = jax.jit(lambda k: init_wan_vae(
+        k, spec.vae))(jax.random.PRNGKey(1))
+    ctx = jax.random.normal(jax.random.PRNGKey(2),
+                            (spec.dit.text_len, spec.dit.text_dim),
+                            jnp.float32) * 0.02
+    ctx_null = jax.random.normal(jax.random.PRNGKey(3), ctx.shape,
+                                 jnp.float32) * 0.02
+    kw = dict(size=(w, h), frame_num=frames, sampling_steps=steps,
+              seed=7)
+
+    def run(policy, ts_threshold=0):
+        pipe = WanTI2VPipeline(spec, dit_params, vae_params,
+                               policy=policy)
+        t0 = time.perf_counter()
+        lat = np.asarray(pipe.generate(
+            ctx, ctx_null, taylorseer_threshold=ts_threshold,
+            decode=False, **kw))
+        dt = time.perf_counter() - t0
+        # decode=False returns the batched latent x0 [1, f, h, w, c]
+        v = np.asarray(pipe._decode_jit()(vae_params,
+                                          jnp.asarray(lat))[0])
+        return lat, v, dt
+
+    def relerr(a, b):
+        return float(np.linalg.norm(a - b)
+                     / max(np.linalg.norm(a), 1e-12))
+
+    out = {"resolution": f"{w}x{h}x{frames}f", "steps": steps,
+           "model": model}
+    base_lat, base, base_s = run(DEFAULT_POLICY)
+    out["baseline_fp32res_s"] = round(base_s, 1)
+
+    lat, v, dt = run(BF16_RESIDUAL_POLICY)
+    out["bf16_residual"] = {"psnr_db": round(psnr_u8(base, v), 2),
+                            "latent_rel_err": round(relerr(base_lat,
+                                                           lat), 5),
+                            "denoise_wall_s": round(dt, 1)}
+
+    for t in thresholds:
+        lat, v, dt = run(DEFAULT_POLICY, ts_threshold=t)
+        out[f"taylorseer_t{t}"] = {
+            "psnr_db": round(psnr_u8(base, v), 2),
+            "latent_rel_err": round(relerr(base_lat, lat), 5),
+            "denoise_wall_s": round(dt, 1)}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -65,9 +65,12 @@ def main():
     state, tx, lora_template = init_fusion_train_state(
         jax.random.PRNGKey(1), fusion_cfg, train_cfg, dit_cfg=spec.dit,
         lora_cfg=LoRAConfig())
+    remat = os.environ.get("BENCH_REMAT", "attn")
+    remat_blocks = {"block": True, "attn": "attn",
+                    "none": False}[remat]
     step, _ = make_diffusion_train_step(
         spec, fusion_cfg, train_cfg, tx, dit_params, None, (f, lh, lw),
-        lora_template=lora_template, remat_blocks=True)
+        lora_template=lora_template, remat_blocks=remat_blocks)
 
     c = spec.vae.z_dim
     batch = {
@@ -91,12 +94,39 @@ def main():
     per_step = (time.perf_counter() - t0) / n_steps
 
     tokens = dit_seq_len(spec, w, h, frames)
+    # analytic train-step FLOPs for the MFU estimate (batch 1):
+    # forward = linear 2PT + self-attn 4T^2 D L + cross 4 T Lt D L;
+    # backward dX = ~1x fwd; dW only at the trainable LoRA sites
+    # (attention projections) = ~(8 D^2 T L)/(2PT) share; remat policy
+    # adds one extra forward ('block') or a forward minus the flash
+    # kernel ('attn')
+    d = spec.dit.dim
+    n_layers = spec.dit.num_layers
+    import numpy as _np
+    params_dit = sum(x.size for x in jax.tree.leaves(dit_params))
+    lin = 2.0 * params_dit * tokens
+    attn_f = 4.0 * tokens * tokens * d * n_layers
+    cross_f = 4.0 * tokens * spec.dit.text_len * d * n_layers
+    fwd = lin + attn_f + cross_f
+    # dW at the 8 attention-projection sites/layer: 2*T*d^2 each; the
+    # flash backward itself is ~2.5x the fwd kernel (dq+dk+dv) and is
+    # inside the dX term approximation
+    dw_sites = 8.0 * 2.0 * tokens * d * d * n_layers
+    remat_extra = {"block": fwd, "attn": fwd - attn_f,
+                   "none": 0.0}[remat]
+    bwd_dx = lin + 2.5 * attn_f + cross_f  # flash bwd ~2.5x fwd kernel
+    total = fwd + bwd_dx + dw_sites + remat_extra
+    peak = {"tpu": 197e12}.get(jax.default_backend(), 0)
+    est_mfu = round(total / per_step / peak, 3) if peak else None
+    del _np
     print(json.dumps({
         "train_step_ms": round(per_step * 1e3, 1),
         "loss": float(loss),
         "tokens": tokens,
         "resolution": f"{w}x{h}x{frames}f",
         "model": model,
+        "remat": remat,
+        **({"est_mfu": est_mfu} if est_mfu is not None else {}),
         "latent_grid": [f, lh, lw],
         "device": str(jax.devices()[0]),
     }))

@@ -253,21 +253,23 @@ def flash_attention_padded(
     # kernel's softmax then runs in the exp2 domain
     q = q * jnp.asarray(softmax_scale * math.log2(math.e), q.dtype)
 
-    # [B, L, N, D] -> [B*N, L, D]
-    def fold(x):
-        return x.transpose(0, 2, 1, 3).reshape(b * n, x.shape[1], d)
-
-    qf, kf, vf = fold(q), fold(k), fold(v)
+    # NATIVE [B, L, N, D] layout: view as [B, L, N*D] (a free reshape)
+    # and select the head via the LAST-dim block index — the profiler
+    # showed the old [B*N, L, D] fold costing ~170 ms/step of explicit
+    # transpose traffic on the 1.3B; the per-head strided reads now ride
+    # the kernel's DMA slack (the kernel is compute-bound) instead.
+    qf = q.reshape(b, lq, n * d)
+    kf = k.reshape(b, lk, n * d)
+    vf = v.reshape(b, lk, n * d)
 
     grid = (b * n, lq // block_q, lk // block_k)
 
+    q_map = lambda ibn, iq, ik, *_, _n=n: (ibn // _n, iq, ibn % _n)
+    kv_map = lambda ibn, iq, ik, *_, _n=n: (ibn // _n, ik, ibn % _n)
     in_specs = [
-        pl.BlockSpec((1, block_q, d), lambda ibn, iq, ik, *_: (ibn, iq, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, block_k, d), lambda ibn, iq, ik, *_: (ibn, ik, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, block_k, d), lambda ibn, iq, ik, *_: (ibn, ik, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, d), q_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d), kv_map, memory_space=pltpu.VMEM),
     ]
     inputs = [qf, kf, vf]
 
@@ -306,9 +308,9 @@ def flash_attention_padded(
         pltpu.VMEM((block_q, d), jnp.float32),    # output accumulator
     ]
 
-    out_spec = pl.BlockSpec((1, block_q, d), lambda ibn, iq, ik, *_: (ibn, iq, 0),
+    out_spec = pl.BlockSpec((1, block_q, d), q_map,
                             memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((b * n, lq, d), q.dtype)
+    out_shape = jax.ShapeDtypeStruct((b, lq, n * d), q.dtype)
     if save_residuals:
         # lse in the lane-broadcast [B*N, Lq, 128] layout so the backward
         # kernels read per-row stats as [bq, 128] tiles without transposes
@@ -367,8 +369,8 @@ def flash_attention_padded(
 
     if save_residuals:
         out, lse = out
-        return out.reshape(b, n, lq, d).transpose(0, 2, 1, 3), lse
-    return out.reshape(b, n, lq, d).transpose(0, 2, 1, 3)
+        return out.reshape(b, lq, n, d), lse
+    return out.reshape(b, lq, n, d)
 
 
 # ---------------------------------------------------------------------------
@@ -621,8 +623,10 @@ def flash_attention_bwd_padded(
         softmax_scale = 1.0 / math.sqrt(d)
     qs = q * jnp.asarray(softmax_scale * math.log2(math.e), q.dtype)
 
+    # native layout (see flash_attention_padded): [B, L, N*D] views with
+    # the head picked by the last-dim block index — no transposes
     def fold(x):
-        return x.transpose(0, 2, 1, 3).reshape(b * n, x.shape[1], d)
+        return x.reshape(b, x.shape[1], n * d)
 
     qf, kf, vf, dof, of = fold(qs), fold(k), fold(v), fold(do), fold(o)
 
@@ -657,15 +661,16 @@ def flash_attention_bwd_padded(
         return pl.BlockSpec(bs, imap, memory_space=pltpu.VMEM)
 
     # ---- dq: grid (B*N, nq, nk), kv innermost ----
-    q_by_iq = lambda ibn, iq, ik, *_: (ibn, iq, 0)
-    k_by_ik = lambda ibn, iq, ik, *_: (ibn, ik, 0)
+    q_by_iq = lambda ibn, iq, ik, *_, _n=n: (ibn // _n, iq, ibn % _n)
+    k_by_ik = lambda ibn, iq, ik, *_, _n=n: (ibn // _n, ik, ibn % _n)
+    lse_by_iq = lambda ibn, iq, ik, *_: (ibn, iq, 0)
     dq_specs = [
         vspec((1, block_q, d), q_by_iq),
         vspec((1, block_k, d), k_by_ik),
         vspec((1, block_k, d), k_by_ik),
         vspec((1, block_q, d), q_by_iq),
         vspec((1, block_q, d), q_by_iq),
-        vspec((1, block_q, 128), q_by_iq),
+        vspec((1, block_q, 128), lse_by_iq),
     ]
     dq_inputs = [qf, kf, vf, dof, of, lse]
     if has_segments:
@@ -689,7 +694,7 @@ def flash_attention_bwd_padded(
     dq_kernel = functools.partial(_flash_bwd_dq_kernel, **common)
     dq_grid = (b * n, lq // block_q, lk // block_k)
     dq_out_spec = vspec((1, block_q, d), q_by_iq)
-    dq_out_shape = jax.ShapeDtypeStruct((b * n, lq, d), q.dtype)
+    dq_out_shape = jax.ShapeDtypeStruct((b, lq, n * d), q.dtype)
     dq_scratch = [pltpu.VMEM((block_q, d), jnp.float32)]
     if has_scalars:
         dqf = pl.pallas_call(
@@ -713,15 +718,16 @@ def flash_attention_bwd_padded(
         )(*dq_inputs)
 
     # ---- dk/dv: grid (B*N, nk, nq), q innermost ----
-    q_by_inner = lambda ibn, ik, iq, *_: (ibn, iq, 0)
-    k_by_outer = lambda ibn, ik, iq, *_: (ibn, ik, 0)
+    q_by_inner = lambda ibn, ik, iq, *_, _n=n: (ibn // _n, iq, ibn % _n)
+    k_by_outer = lambda ibn, ik, iq, *_, _n=n: (ibn // _n, ik, ibn % _n)
+    lse_by_inner = lambda ibn, ik, iq, *_: (ibn, iq, 0)
     dkv_specs = [
         vspec((1, block_q, d), q_by_inner),
         vspec((1, block_k, d), k_by_outer),
         vspec((1, block_k, d), k_by_outer),
         vspec((1, block_q, d), q_by_inner),
         vspec((1, block_q, d), q_by_inner),
-        vspec((1, block_q, 128), q_by_inner),
+        vspec((1, block_q, 128), lse_by_inner),
     ]
     dkv_inputs = [qf, kf, vf, dof, of, lse]
     if has_segments:
@@ -737,8 +743,8 @@ def flash_attention_bwd_padded(
     dkv_grid = (b * n, lk // block_k, lq // block_q)
     dkv_out_specs = (vspec((1, block_k, d), k_by_outer),
                      vspec((1, block_k, d), k_by_outer))
-    dkv_out_shapes = (jax.ShapeDtypeStruct((b * n, lk, d), k.dtype),
-                      jax.ShapeDtypeStruct((b * n, lk, d), v.dtype))
+    dkv_out_shapes = (jax.ShapeDtypeStruct((b, lk, n * d), k.dtype),
+                      jax.ShapeDtypeStruct((b, lk, n * d), v.dtype))
     dkv_scratch = [pltpu.VMEM((block_k, d), jnp.float32),
                    pltpu.VMEM((block_k, d), jnp.float32)]
     if has_scalars:
@@ -763,6 +769,6 @@ def flash_attention_bwd_padded(
         )(*dkv_inputs)
 
     def unfold(x, length):
-        return x.reshape(b, n, length, d).transpose(0, 2, 1, 3)
+        return x.reshape(b, length, n, d)
 
     return unfold(dqf, lq), unfold(dkf, lk), unfold(dvf, lk)

@@ -31,6 +31,7 @@ import math
 from typing import Optional, Tuple
 
 import jax
+import jax.ad_checkpoint  # noqa: F401  (registers jax.ad_checkpoint)
 import jax.numpy as jnp
 
 from ...core import nn
@@ -257,6 +258,10 @@ def _blocks_and_head(params, cfg: WanDiTConfig, h, e, e0, ctx,
                                      kv_len=self_kv_len)
         else:
             attn = attention(q, k, v, kv_len=self_kv_len)
+        # named for the 'attn' remat policy: saving just this tensor
+        # (~100 MB/block at 33k tokens) lets the backward skip
+        # re-running the flash forward while everything else remats
+        attn = jax.ad_checkpoint.checkpoint_name(attn, "attn_out")
         attn = attn.reshape(b, l, cfg.dim)
         attn = nn.linear(bp["self_attn"]["o"], attn,
                          compute_dtype=policy.compute_dtype)
@@ -300,7 +305,15 @@ def _blocks_and_head(params, cfg: WanDiTConfig, h, e, e0, ctx,
         x32 = x32 + (y.astype(jnp.float32) * sel(5)).astype(rdt)
         return x32
 
-    if remat_blocks:
+    if remat_blocks == "attn":
+        # save-attention remat: per-block activations are recomputed in
+        # the backward EXCEPT the flash-attention output — trades
+        # ~100 MB/block of HBM for skipping a second full flash forward
+        block_fn = jax.checkpoint(
+            block_fn,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "attn_out"))
+    elif remat_blocks:
         block_fn = jax.checkpoint(block_fn)
 
     def scan_body(carry, bp):
@@ -331,7 +344,7 @@ def wan_dit_forward(
     t_zero_mask: Optional[jnp.ndarray] = None,  # [B, L] True -> token t=0
     seq_pad_to: Optional[int] = None,
     policy: DTypePolicy = DEFAULT_POLICY,
-    remat_blocks: bool = False,
+    remat_blocks=False,  # False | True (full) | 'attn' (save attn_out)
 ) -> jnp.ndarray:
     """Velocity prediction [B, F, H, W, C_out] (fp32), single program
     (GSPMD handles any fsdp/tp sharding of params transparently)."""
@@ -373,7 +386,7 @@ def wan_dit_forward_sp(
     t_zero_mask: Optional[jnp.ndarray] = None,
     seq_pad_to: Optional[int] = None,
     policy: DTypePolicy = DEFAULT_POLICY,
-    remat_blocks: bool = False,
+    remat_blocks=False,  # False | True (full) | 'attn' (save attn_out)
 ) -> jnp.ndarray:
     """Sequence-parallel velocity prediction: context-parallel token
     chunking + Ulysses all-to-all self-attention.

@@ -23,6 +23,7 @@ Behavioral parity with reference train_cross_attention_fusion
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 from dataclasses import dataclass
@@ -185,7 +186,9 @@ def make_diffusion_train_step(spec: WanModelSpec, fusion_cfg: FusionConfig,
     def encode(video):
         return _encode(vae_params, video)
 
-    @jax.jit
+    # donate the carried train state: trainable + AdamW moments update
+    # in place instead of allocating fresh buffers every step
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def _step(state, batch, base_params):
         loss, grads = jax.value_and_grad(loss_fn)(state["trainable"],
                                                   batch, base_params)

@@ -283,3 +283,78 @@ def test_t5_sharded_encode_matches_single_device():
                             compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# (h) ring attention == full attention (long-video slot, parallel/ring.py)
+# ---------------------------------------------------------------------------
+
+
+@requires_8
+@pytest.mark.parametrize("tail_masked", [False, True])
+def test_ring_attention_matches_single_device(tail_masked):
+    from univid_tpu.parallel.ring import ring_attention
+
+    mesh = _sp_mesh(sp=4)
+    b, l, n, d = 2, 256, 4, 32
+    key = jax.random.PRNGKey(3)
+    q, k, v = (jax.random.normal(kk, (b, l, n, d), jnp.float32)
+               for kk in jax.random.split(key, 3))
+    if tail_masked:
+        # real length inside the LAST shard and one fully-padded shard
+        seq_real = jnp.array([l - 70, l - 64], jnp.int32)
+        ref = attention(q, k, v, kv_len=seq_real)
+    else:
+        seq_real = None
+        ref = attention(q, k, v)
+
+    def body(q, k, v):
+        return ring_attention(q, k, v, "sp", seq_len_global=seq_real,
+                              block_q=64, block_k=64, interpret=True)
+
+    f = jax.shard_map(body, mesh=mesh,
+                      in_specs=(P(None, "sp"),) * 3,
+                      out_specs=P(None, "sp"), check_vma=False)
+    with mesh:
+        out = jax.jit(f)(q, k, v)
+    valid = int(seq_real.min()) if tail_masked else l
+    np.testing.assert_allclose(np.asarray(out)[:, :valid],
+                               np.asarray(ref)[:, :valid],
+                               rtol=2e-3, atol=2e-3)
+
+
+@requires_8
+def test_sp_dit_forward_ring_matches_single_device():
+    """wan_dit_forward_sp(sp_impl='ring') == single-device forward."""
+    from univid_tpu.kernels import flash_attention as fa
+
+    mesh = _sp_mesh(sp=4)
+    cfg = WanDiTConfig(model_type="t2v", in_dim=4, out_dim=4, dim=64,
+                       ffn_dim=96, freq_dim=32, text_dim=48,
+                       num_heads=4, num_layers=2, text_len=8)
+    params = init_wan_dit(jax.random.PRNGKey(0), cfg)
+    b, f_, h_, w_ = 2, 4, 8, 8
+    pt, ph, pw = cfg.patch_size
+    grid = (f_ // pt, h_ // ph, w_ // pw)
+    cos, sin = build_rope_3d(cfg.head_dim, grid)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, f_, h_, w_,
+                                                  cfg.in_dim))
+    t = jnp.full((b,), 300.0)
+    ctx = jax.random.normal(jax.random.PRNGKey(2),
+                            (b, cfg.text_len, cfg.text_dim))
+
+    ref = wan_dit_forward(params, cfg, x, t, ctx, cos, sin)
+
+    fa.set_interpret_mode(True)
+    try:
+        @jax.jit
+        def sp_fwd(params, x, t, ctx):
+            return wan_dit_forward_sp(params, cfg, x, t, ctx, cos, sin,
+                                      mesh=mesh, sp_impl="ring",
+                                      seq_pad_to=None)
+        with mesh:
+            out = sp_fwd(params, x, t, ctx)
+    finally:
+        fa.set_interpret_mode(False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-3, atol=5e-3)

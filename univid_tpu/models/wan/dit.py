@@ -227,6 +227,7 @@ def _pad_rope(rope_cos, rope_sin, l):
 def _blocks_and_head(params, cfg: WanDiTConfig, h, e, e0, ctx,
                      rope_cos, rope_sin, t_zero_mask, self_kv_len, *,
                      policy: DTypePolicy, sp_axis: Optional[str] = None,
+                     sp_impl: str = "ulysses",  # 'ulysses' | 'ring'
                      remat_blocks: bool = False) -> jnp.ndarray:
     """Block scan + modulated head over (possibly seq-local) tokens.
 
@@ -253,7 +254,13 @@ def _blocks_and_head(params, cfg: WanDiTConfig, h, e, e0, ctx,
         q, k, v = _attn_qkv(bp["self_attn"], y, n, policy)
         q = apply_rope(q, rope_cos, rope_sin).astype(policy.compute_dtype)
         k = apply_rope(k, rope_cos, rope_sin).astype(policy.compute_dtype)
-        if sp_axis is not None:
+        if sp_axis is not None and sp_impl == "ring":
+            # long-video slot: kv rotates around the ring, O(L/sp)
+            # activations per chip (parallel/ring.py)
+            from ...parallel.ring import ring_attention
+            attn = ring_attention(q, k, v, sp_axis,
+                                  seq_len_global=self_kv_len)
+        elif sp_axis is not None:
             attn = ulysses_attention(q, k, v, sp_axis,
                                      kv_len=self_kv_len)
         else:
@@ -383,6 +390,7 @@ def wan_dit_forward_sp(
     *,
     mesh,
     sp_axis: str = "sp",
+    sp_impl: str = "ulysses",  # 'ulysses' | 'ring' (long-video slot)
     t_zero_mask: Optional[jnp.ndarray] = None,
     seq_pad_to: Optional[int] = None,
     policy: DTypePolicy = DEFAULT_POLICY,
@@ -429,7 +437,8 @@ def wan_dit_forward_sp(
                               ((0, 0), (0, l - t_zero_mask.shape[1])))
 
     inner = _ft.partial(_blocks_and_head, cfg=cfg, policy=policy,
-                        sp_axis=sp_axis, remat_blocks=remat_blocks)
+                        sp_axis=sp_axis, sp_impl=sp_impl,
+                        remat_blocks=remat_blocks)
 
     def body(params, h, e, e0, ctx, rope_cos, rope_sin, t_zero_mask,
              self_kv_len):

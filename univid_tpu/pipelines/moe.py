@@ -197,6 +197,9 @@ class WanMoEPipeline:
         c, f, h, w = latent_shape(spec, size[0], size[1], frame_num)
         seq_len = dit_seq_len(spec, size[0], size[1], frame_num,
                               self.sp_size)
+        # single up-front pad to the flash block multiple (see ti2v.py)
+        if seq_len > 2048:
+            seq_len = -(-seq_len // 2048) * 2048
 
         key = jax.random.PRNGKey(seed)
         noise = jax.random.normal(key, (1, f, h, w, c), jnp.float32)

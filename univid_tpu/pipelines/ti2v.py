@@ -250,6 +250,14 @@ class WanTI2VPipeline:
         c, f, h, w = latent_shape(spec, size[0], size[1], frame_num)
         seq_len = dit_seq_len(spec, size[0], size[1], frame_num,
                               self.sp_size)
+        # pad the token axis ONCE to the flash-attention block multiple:
+        # without this, every one of the 30 blocks re-pads q/k/v to the
+        # next 2048 multiple and re-slices the output (~55 ms/step of
+        # pure copy traffic at the 1.3B 480p point); padded keys are
+        # masked via kv_len inside wan_dit_forward. 2048 is also a
+        # multiple of every supported sp width.
+        if seq_len > 2048:
+            seq_len = -(-seq_len // 2048) * 2048
 
         key = jax.random.PRNGKey(seed)
         noise = jax.random.normal(key, (1, f, h, w, c), jnp.float32)

@@ -91,6 +91,11 @@ def measure(model: str, w: int, h: int, frames: int, steps_measured: int,
         if os.environ.get("BENCH_BF16_RESIDUAL", "0") != "0" \
         else DEFAULT_POLICY
     spec = WAN_CONFIGS[model]
+    dck = int(os.environ.get("BENCH_DECODE_CHUNK", "0"))
+    if dck > 1:
+        import dataclasses
+        spec = dataclasses.replace(
+            spec, vae=dataclasses.replace(spec.vae, decode_chunk=dck))
     # zeros DiT weights, materialized by ONE jitted program: denoise
     # TIMING is weight-value-independent (identical convs/matmuls/
     # attention program; TPUs have no denormal stalls), while the

@@ -161,3 +161,19 @@ def test_encode_causality(vae_params):
     np.testing.assert_allclose(np.asarray(z1[:, :2]), np.asarray(z2[:, :2]),
                                rtol=1e-4, atol=1e-4)
     assert not np.allclose(np.asarray(z1[:, 2]), np.asarray(z2[:, 2]))
+
+
+def test_decode_chunked_equals_full(vae_params):
+    """decode_chunk > 1 (multi-frame scan steps) keeps streaming==full
+    exactly — the causal feat-cache carries across any chunking."""
+    import dataclasses
+
+    rng = np.random.default_rng(3)
+    z = jnp.asarray(rng.standard_normal((1, 5, 4, 4, TINY.z_dim)),
+                    jnp.float32)
+    full = vae_decode(vae_params, TINY, z, streaming=False)
+    for ck in (2, 4):
+        cfg = dataclasses.replace(TINY, decode_chunk=ck)
+        out = vae_decode(vae_params, cfg, z, streaming=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(full),
+                                   rtol=2e-4, atol=2e-4)

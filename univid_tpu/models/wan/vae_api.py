@@ -257,8 +257,19 @@ def vae_decode(params, cfg: WanVAEConfig, z: jnp.ndarray,
         first = decoder_forward(dec, cfg, x[:, :1], s0, first_chunk=True)
         cache0 = s0.done()
         if t > 1:
-            # [t-1, B, 1, h, w, c]: one latent frame per scan step
-            chunks = jnp.swapaxes(x[:, 1:], 0, 1)[:, :, None]
+            # cfg.decode_chunk latent frames per scan step: larger
+            # chunks amortize the sequential scan's small-op launch and
+            # conv setup cost (streaming==full equivalence holds for any
+            # chunking — the causal feat-cache carries across chunks,
+            # proven in tests/test_vae.py); falls back to 1 when the
+            # frame count doesn't divide.
+            ck = max(int(getattr(cfg, "decode_chunk", 1)), 1)
+            if (t - 1) % ck:
+                ck = 1
+            # [(t-1)/ck, B, ck, h, w, c]
+            chunks = jnp.swapaxes(x[:, 1:], 0, 1)
+            chunks = chunks.reshape((t - 1) // ck, ck,
+                                    *chunks.shape[1:]).swapaxes(1, 2)
 
             def body(cache, chunk):
                 s = Stream(cache)

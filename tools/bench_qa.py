@@ -70,9 +70,16 @@ def bench_caption(n_frames: int, max_tokens: int):
 
     layers = int(os.environ.get("QA_LM_LAYERS", "28"))
     hidden = int(os.environ.get("QA_LM_HIDDEN", "2048"))
+    inter = int(os.environ.get("QA_LM_INTER", str(hidden * 4)))
+    # QA_MOE=0 builds the und-only tower (captioning never routes
+    # through the gen twins); with QA_INT8=1 the REAL 7B decode shape
+    # (QA_LM_HIDDEN=3584 QA_LM_LAYERS=28 QA_LM_INTER=18944) fits one
+    # 16 GB v5e at ~7 GB of int8 weights
+    moe = os.environ.get("QA_MOE", "1") != "0"
     llm = Qwen2MoTConfig(vocab_size=32000, hidden_size=hidden,
-                         intermediate_size=hidden * 4, num_layers=layers,
-                         num_heads=hidden // 128, num_kv_heads=4)
+                         intermediate_size=inter, num_layers=layers,
+                         num_heads=hidden // 128, num_kv_heads=4,
+                         moe=moe)
     cfg = BagelConfig(llm=llm, vit_hidden_size=1152, vit_patch_size=14,
                       start_of_image=31990, end_of_image=31991,
                       bos_token_id=31992, eos_token_id=31993)
@@ -81,6 +88,9 @@ def bench_caption(n_frames: int, max_tokens: int):
                         image_size=224)
     params = init_bagel(jax.random.PRNGKey(0), cfg,
                         param_dtype=jnp.bfloat16)
+    if os.environ.get("QA_INT8", "0") != "0":
+        from univid_tpu.core.quant import quantize_tree
+        params = dict(params, llm=quantize_tree(params["llm"]))
     sig = init_siglip(jax.random.PRNGKey(1), scfg,
                       param_dtype=jnp.bfloat16)
     inf = InterleaveInferencer(params, cfg,
@@ -99,7 +109,10 @@ def bench_caption(n_frames: int, max_tokens: int):
     return {"caption_frames_per_s": round(n_frames / dt, 2),
             "caption_tokens_per_s": round(n_frames * max_tokens / dt, 1),
             "lm_params": unn.count_params(params),
-            "lm_scale": f"{layers}L-{hidden}d-MoT"}
+            "lm_scale": (f"{layers}L-{hidden}d-{inter}ffn-"
+                         f"{'MoT' if moe else 'und'}"
+                         + ("-int8" if os.environ.get("QA_INT8", "0")
+                            != "0" else ""))}
 
 
 def main():

@@ -58,6 +58,24 @@ def linear_init(key, in_dim, out_dim, *, bias=True, init="xavier", std=0.02,
 
 
 def linear(p, x, *, compute_dtype=None):
+    """Dense layer over {'w': [in, out], 'b'?: [out]} params.
+
+    Also accepts int8 weight-only quantized params from core/quant.py:
+    {'qw': int8 [in, out], 'scale': f32 [out]} — the dequant (cast +
+    per-output-channel scale) fuses into the dot's weight read, so HBM
+    weight traffic halves vs bf16. Memory-bound paths (AR decode) speed
+    up proportionally."""
+    if "qw" in p:
+        dt = compute_dtype or x.dtype
+        x = x.astype(dt)
+        # dequant in f32 (int8 values are exact in f32; the scale mul
+        # stays full precision) then cast once for the MXU
+        w = (p["qw"].astype(jnp.float32)
+             * p["scale"].astype(jnp.float32)).astype(dt)
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        if "b" in p:
+            y = y + p["b"].astype(jnp.float32)
+        return y.astype(dt)
     w = p["w"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)

@@ -253,19 +253,22 @@ def flash_attention_padded(
     # kernel's softmax then runs in the exp2 domain
     q = q * jnp.asarray(softmax_scale * math.log2(math.e), q.dtype)
 
-    # NATIVE [B, L, N, D] layout: view as [B, L, N*D] (a free reshape)
-    # and select the head via the LAST-dim block index — the profiler
-    # showed the old [B*N, L, D] fold costing ~170 ms/step of explicit
-    # transpose traffic on the 1.3B; the per-head strided reads now ride
-    # the kernel's DMA slack (the kernel is compute-bound) instead.
+    # HYBRID layout (profiled on the 1.3B step): q and the output are
+    # touched ONCE per element, so they stay in the native [B, L, N*D]
+    # view (a free reshape) with the head picked by the last-dim block
+    # index — their per-head strided DMA rides the compute-bound
+    # kernel's slack and the explicit q/out transposes disappear. k/v
+    # are RE-READ lq/block_q times, which amplifies the strided-read
+    # penalty past the one-time transpose cost (+3.6 ms/call measured
+    # fully-native), so they keep the [B*N, L, D] fold.
     qf = q.reshape(b, lq, n * d)
-    kf = k.reshape(b, lk, n * d)
-    vf = v.reshape(b, lk, n * d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * n, lk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * n, lk, d)
 
     grid = (b * n, lq // block_q, lk // block_k)
 
     q_map = lambda ibn, iq, ik, *_, _n=n: (ibn // _n, iq, ibn % _n)
-    kv_map = lambda ibn, iq, ik, *_, _n=n: (ibn // _n, ik, ibn % _n)
+    kv_map = lambda ibn, iq, ik, *_: (ibn, ik, 0)
     in_specs = [
         pl.BlockSpec((1, block_q, d), q_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, block_k, d), kv_map, memory_space=pltpu.VMEM),
@@ -623,12 +626,17 @@ def flash_attention_bwd_padded(
         softmax_scale = 1.0 / math.sqrt(d)
     qs = q * jnp.asarray(softmax_scale * math.log2(math.e), q.dtype)
 
-    # native layout (see flash_attention_padded): [B, L, N*D] views with
-    # the head picked by the last-dim block index — no transposes
+    # per-kernel hybrid layout (see flash_attention_padded): a tensor
+    # that the kernel RE-READS across its inner grid axis gets the
+    # [B*N, L, D] fold (one-time transpose beats repeated strided DMA);
+    # a tensor touched once stays the native [B, L, N*D] view. dq
+    # re-reads k/v; dkv re-reads q/do/o; all gradient OUTPUTS are
+    # written once and stay native.
     def fold(x):
-        return x.reshape(b, x.shape[1], n * d)
+        return x.transpose(0, 2, 1, 3).reshape(b * n, x.shape[1], d)
 
-    qf, kf, vf, dof, of = fold(qs), fold(k), fold(v), fold(do), fold(o)
+    def native(x):
+        return x.reshape(b, x.shape[1], n * d)
 
     has_segments = q_segments is not None
     seg_inputs = []
@@ -662,7 +670,7 @@ def flash_attention_bwd_padded(
 
     # ---- dq: grid (B*N, nq, nk), kv innermost ----
     q_by_iq = lambda ibn, iq, ik, *_, _n=n: (ibn // _n, iq, ibn % _n)
-    k_by_ik = lambda ibn, iq, ik, *_, _n=n: (ibn // _n, ik, ibn % _n)
+    k_by_ik = lambda ibn, iq, ik, *_: (ibn, ik, 0)
     lse_by_iq = lambda ibn, iq, ik, *_: (ibn, iq, 0)
     dq_specs = [
         vspec((1, block_q, d), q_by_iq),
@@ -672,7 +680,8 @@ def flash_attention_bwd_padded(
         vspec((1, block_q, d), q_by_iq),
         vspec((1, block_q, 128), lse_by_iq),
     ]
-    dq_inputs = [qf, kf, vf, dof, of, lse]
+    dq_inputs = [native(qs), fold(k), fold(v), native(do), native(o),
+                 lse]
     if has_segments:
         dq_specs += [
             vspec((1, block_q, 128),
@@ -685,8 +694,8 @@ def flash_attention_bwd_padded(
     # 5 matmuls of bq*bk*d per (iq, ik) step across fwd-recompute + grads
     bwd_cost = pl.CostEstimate(
         flops=5 * b * n * lq * lk * d,
-        bytes_accessed=(qf.size + dof.size + of.size) * qf.dtype.itemsize
-        + (kf.size + vf.size) * qf.dtype.itemsize * (lq // block_q)
+        bytes_accessed=3 * q.size * q.dtype.itemsize
+        + 2 * k.size * q.dtype.itemsize * (lq // block_q)
         + lse.size * 4,
         transcendentals=b * n * lq * lk,
     )
@@ -718,7 +727,7 @@ def flash_attention_bwd_padded(
         )(*dq_inputs)
 
     # ---- dk/dv: grid (B*N, nk, nq), q innermost ----
-    q_by_inner = lambda ibn, ik, iq, *_, _n=n: (ibn // _n, iq, ibn % _n)
+    q_by_inner = lambda ibn, ik, iq, *_: (ibn, iq, 0)
     k_by_outer = lambda ibn, ik, iq, *_, _n=n: (ibn // _n, ik, ibn % _n)
     lse_by_inner = lambda ibn, ik, iq, *_: (ibn, iq, 0)
     dkv_specs = [
@@ -729,7 +738,8 @@ def flash_attention_bwd_padded(
         vspec((1, block_q, d), q_by_inner),
         vspec((1, block_q, 128), lse_by_inner),
     ]
-    dkv_inputs = [qf, kf, vf, dof, of, lse]
+    dkv_inputs = [fold(qs), native(k), native(v), fold(do), fold(o),
+                  lse]
     if has_segments:
         dkv_specs += [
             vspec((1, block_q, 128),

@@ -242,3 +242,59 @@ def test_softmax_bf16_variant_close():
     rel = (np.abs(np.asarray(base) - np.asarray(bf)).mean()
            / np.abs(np.asarray(base)).mean())
     assert rel < 0.02, rel
+
+
+def test_fused_rope_prologue_matches_xla_rope():
+    """Kernel-prologue rope (interpret) == XLA apply_rope + plain
+    flash: same fp32 rotation values, bf16-cast at the same point."""
+    import jax
+    import jax.numpy as jnp
+
+    from univid_tpu.kernels.flash_attention import (
+        build_fused_rope_tables, flash_attention_padded)
+    from univid_tpu.ops.rope import build_rope_3d, apply_rope
+
+    b, l, n, d = 2, 256, 4, 128
+    key = jax.random.PRNGKey(11)
+    q, k, v = (jax.random.normal(kk, (b, l, n, d), jnp.float32)
+               for kk in jax.random.split(key, 3))
+    cos, sin = build_rope_3d(d, (4, 8, 8))
+    qr = apply_rope(q, cos, sin)
+    kr = apply_rope(k, cos, sin)
+    ref = flash_attention_padded(qr, kr, v, block_q=128, block_k=128,
+                                 interpret=True)
+    tabs = build_fused_rope_tables(cos, sin, d)
+    out = flash_attention_padded(q, k, v, block_q=128, block_k=128,
+                                 interpret=True, rope_tables=tabs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_rope_with_kv_len_and_padding():
+    """Fused rope composes with the wrapper's padding + kv_len mask
+    (the production Wan self-attention configuration)."""
+    import jax
+    import jax.numpy as jnp
+
+    from univid_tpu.kernels import flash_attention as fa
+    from univid_tpu.kernels.attention import attention, mha_reference
+    from univid_tpu.ops.rope import build_rope_3d, apply_rope
+
+    b, l, n, d = 1, 250, 4, 128   # unpadded odd length
+    key = jax.random.PRNGKey(12)
+    q, k, v = (jax.random.normal(kk, (b, l, n, d), jnp.float32)
+               for kk in jax.random.split(key, 3))
+    cos, sin = build_rope_3d(d, (10, 5, 5))
+    kv_len = jnp.array([l - 9], jnp.int32)
+    ref = mha_reference(apply_rope(q, cos, sin),
+                        apply_rope(k, cos, sin), v, kv_len=kv_len)
+    tabs = fa.build_fused_rope_tables(cos, sin, d)
+    fa.set_interpret_mode(True)
+    try:
+        out = attention(q, k, v, kv_len=kv_len, block_q=128,
+                        block_k=128, rope_tables=tabs)
+    finally:
+        fa.set_interpret_mode(False)
+    np.testing.assert_allclose(np.asarray(out)[:, :l - 9],
+                               np.asarray(ref)[:, :l - 9],
+                               rtol=2e-5, atol=2e-5)

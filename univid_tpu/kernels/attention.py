@@ -176,7 +176,7 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
               q_segments=None, kv_segments=None, softmax_scale=None,
               block_q=None, block_k=None, packed_mode=False,
-              q_offsets=None, softmax_bf16=False):
+              q_offsets=None, softmax_bf16=False, rope_tables=None):
     """Multi-head attention over [B, L, N, D] tensors.
 
     Default block sizes auto-tune by sequence length: the v5e sweep
@@ -191,6 +191,21 @@ def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
     # and VPU work; XLA handles the odd geometry better, and at these
     # tower sizes (<=1k tokens) the materialized-scores memory is fine
     if _backend() == "xla" or d % 128 != 0:
+        if rope_tables is not None:
+            # apply the rotation in XLA with the UNSCALED (k) tables —
+            # mha_reference applies softmax_scale itself
+            _, _, ck, sk = rope_tables
+
+            def rot(x):
+                ll = x.shape[1]
+                sw = x.reshape(*x.shape[:-1], d // 2, 2)[..., ::-1]
+                sw = sw.reshape(x.shape)
+                return (x.astype(jnp.float32)
+                        * ck[:ll][None, :, None]
+                        + sw.astype(jnp.float32)
+                        * sk[:ll][None, :, None]).astype(x.dtype)
+
+            q, k = rot(q), rot(k)
         return mha_reference(
             q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len,
             q_segments=q_segments, kv_segments=kv_segments,
@@ -226,6 +241,17 @@ def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
             kv_segments = jnp.pad(kv_segments,
                                   ((0, 0), (0, lk_pad - lk)),
                                   constant_values=-2)
+
+    if rope_tables is not None:
+        # fused-rope prologue: INFERENCE-ONLY fast path (the custom_vjp
+        # below differentiates the rotated-inputs formulation; training
+        # code applies rope in XLA and leaves rope_tables unset)
+        o = flash_attention_padded(
+            q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len,
+            softmax_scale=softmax_scale, block_q=block_q,
+            block_k=block_k, q_offsets=q_offsets,
+            softmax_bf16=softmax_bf16, rope_tables=rope_tables)
+        return o[:, :lq]
 
     o = _flash(q, k, v, kv_len, q_segments, kv_segments, q_offsets,
                causal, q_offset, softmax_scale, block_q, block_k,

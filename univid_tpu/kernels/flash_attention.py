@@ -56,6 +56,7 @@ def _flash_kernel(
     packed_mode: bool,
     save_residuals: bool,
     softmax_bf16: bool,
+    fused_rope: bool,
 ):
     idx = 0
     scalar_ref = None
@@ -64,6 +65,10 @@ def _flash_kernel(
         idx += 1
     q_ref, k_ref, v_ref = refs[idx:idx + 3]
     idx += 3
+    cq_ref = sq_ref = ck_ref = sk_ref = None
+    if fused_rope:
+        cq_ref, sq_ref, ck_ref, sk_ref = refs[idx:idx + 4]
+        idx += 4
     qseg_ref = kseg_ref = None
     if has_segments:
         qseg_ref, kseg_ref = refs[idx:idx + 2]
@@ -74,18 +79,36 @@ def _flash_kernel(
     if save_residuals:
         lse_ref = refs[idx]
         idx += 1
-    m_scr, l_scr, acc_scr = refs[idx:idx + 3]
+    if fused_rope:
+        m_scr, l_scr, acc_scr, q_scr = refs[idx:idx + 4]
+    else:
+        m_scr, l_scr, acc_scr = refs[idx:idx + 3]
+        q_scr = None
 
     i_q = pl.program_id(1)
     i_k = pl.program_id(2)
     nk = pl.num_programs(2)
     b = pl.program_id(0) // num_heads
 
+    def _rot(x32, c_ref, s_ref):
+        """In-prologue rotary embed: y = x*cosF + swap_pairs(x)*sinF on
+        a fp32 VMEM tile (tables carry the swap-multiply convention and
+        the q tables fold in softmax_scale*log2e — see
+        build_fused_rope_tables). VPU register work instead of the
+        ~300 ms/step of fp32 cast/rev/mul HBM passes the XLA-side
+        rotation cost on the 1.3B."""
+        rows, d = x32.shape
+        sw = x32.reshape(rows, d // 2, 2)[:, :, ::-1].reshape(rows, d)
+        return x32 * c_ref[...] + sw * s_ref[...]
+
     @pl.when(i_k == 0)
     def _init():
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
+        if fused_rope:
+            q_scr[:] = _rot(q_ref[0].astype(jnp.float32), cq_ref,
+                            sq_ref).astype(q_scr.dtype)
 
     # causal: skip fully-masked kv blocks. With a static offset this is a
     # compile-time grid predicate; with dynamic per-batch offsets it is a
@@ -133,8 +156,13 @@ def _flash_kernel(
         return s
 
     def _compute(mask_kv, mask_causal):
-        q = q_ref[0]  # [bq, d] — softmax scale pre-folded by the wrapper
-        k = k_ref[0]  # [bk, d]
+        if fused_rope:
+            q = q_scr[:]  # rotated + scale-folded at i_k == 0
+            k = _rot(k_ref[0].astype(jnp.float32), ck_ref,
+                     sk_ref).astype(v_ref.dtype)
+        else:
+            q = q_ref[0]  # [bq, d] — scale pre-folded by the wrapper
+            k = k_ref[0]  # [bk, d]
         v = v_ref[0]  # [bk, d]
 
         s = jax.lax.dot_general(
@@ -216,6 +244,38 @@ def _flash_kernel(
                 jnp.float32(-NEG_INF))
 
 
+def build_fused_rope_tables(cos: jnp.ndarray, sin: jnp.ndarray, d: int,
+                            softmax_scale: Optional[float] = None):
+    """[L, d/2] rope tables -> the 4 full-width fp32 tables the kernel's
+    fused prologue consumes: (cos_q, sin_q, cos_k, sin_k) in the
+    swap-multiply convention (cosF = repeat(cos, 2), sinF =
+    interleave(-sin, +sin)); the q pair additionally folds in
+    softmax_scale * log2(e) so the kernel needs NO extra scale pass."""
+    if softmax_scale is None:
+        softmax_scale = 1.0 / math.sqrt(d)
+    sc = softmax_scale * math.log2(math.e)
+    c32 = cos.astype(jnp.float32)
+    s32 = sin.astype(jnp.float32)
+    cf = jnp.repeat(c32, 2, axis=-1)
+    sf = jnp.stack([-s32, s32], axis=-1).reshape(s32.shape[0], -1)
+    return cf * sc, sf * sc, cf, sf
+
+
+def _pad_tables(tables, lq, lk, scale_const):
+    """Pad the 4 fused-rope tables to the padded q/k lengths with the
+    identity rotation (cos = 1 (scaled for q), sin = 0)."""
+    cq, sq, ck, sk = tables
+
+    def pad(t, length, fill):
+        if t.shape[0] >= length:
+            return t[:length]
+        return jnp.pad(t, ((0, length - t.shape[0]), (0, 0)),
+                       constant_values=fill)
+
+    return (pad(cq, lq, scale_const), pad(sq, lq, 0.0),
+            pad(ck, lk, 1.0), pad(sk, lk, 0.0))
+
+
 def flash_attention_padded(
     q: jnp.ndarray,  # [B, Lq, N, D], Lq % block_q == 0
     k: jnp.ndarray,  # [B, Lk, N, D], Lk % block_k == 0
@@ -234,6 +294,7 @@ def flash_attention_padded(
     q_offsets: Optional[jnp.ndarray] = None,    # [B] int32 dynamic causal
     save_residuals: bool = False,
     softmax_bf16: bool = False,
+    rope_tables=None,  # build_fused_rope_tables output -> fused prologue
 ) -> jnp.ndarray:
     if interpret is None:
         interpret = _INTERPRET
@@ -248,10 +309,18 @@ def flash_attention_padded(
         "packed_mode does not support q offsets"
     if softmax_scale is None:
         softmax_scale = 1.0 / math.sqrt(d)
-    # fold the softmax scale AND log2(e) into q once (O(L*d)) instead of
-    # scaling every [bq, bk] score tile inside the kernel (O(L^2)); the
-    # kernel's softmax then runs in the exp2 domain
-    q = q * jnp.asarray(softmax_scale * math.log2(math.e), q.dtype)
+    fused_rope = rope_tables is not None
+    if fused_rope:
+        assert q_segments is None, \
+            "fused rope does not compose with segment masking"
+        rope_tables = _pad_tables(
+            rope_tables, lq, lk,
+            softmax_scale * math.log2(math.e))
+    else:
+        # fold the softmax scale AND log2(e) into q once (O(L*d))
+        # instead of scaling every [bq, bk] score tile inside the
+        # kernel (O(L^2)); the kernel softmax runs in the exp2 domain
+        q = q * jnp.asarray(softmax_scale * math.log2(math.e), q.dtype)
 
     # HYBRID layout (profiled on the 1.3B step): q and the output are
     # touched ONCE per element, so they stay in the native [B, L, N*D]
@@ -275,6 +344,16 @@ def flash_attention_padded(
         pl.BlockSpec((1, block_k, d), kv_map, memory_space=pltpu.VMEM),
     ]
     inputs = [qf, kf, vf]
+
+    if fused_rope:
+        tq_spec = pl.BlockSpec((block_q, d),
+                               lambda ibn, iq, ik, *_: (iq, 0),
+                               memory_space=pltpu.VMEM)
+        tk_spec = pl.BlockSpec((block_k, d),
+                               lambda ibn, iq, ik, *_: (ik, 0),
+                               memory_space=pltpu.VMEM)
+        in_specs += [tq_spec, tq_spec, tk_spec, tk_spec]
+        inputs += list(rope_tables)
 
     has_segments = q_segments is not None
     if has_segments:
@@ -303,13 +382,16 @@ def flash_attention_padded(
         q_offset=q_offset, has_scalars=has_scalars, has_kv_len=has_kv_len,
         has_q_offsets=has_q_offsets, has_segments=has_segments,
         packed_mode=packed_mode, save_residuals=save_residuals,
-        softmax_bf16=softmax_bf16)
+        softmax_bf16=softmax_bf16, fused_rope=fused_rope)
 
     scratch_shapes = [
         pltpu.VMEM((block_q, 128), jnp.float32),  # running max
         pltpu.VMEM((block_q, 128), jnp.float32),  # running denominator
         pltpu.VMEM((block_q, d), jnp.float32),    # output accumulator
     ]
+    if fused_rope:
+        # rotated+scaled q tile, computed once per q block
+        scratch_shapes.append(pltpu.VMEM((block_q, d), q.dtype))
 
     out_spec = pl.BlockSpec((1, block_q, d), q_map,
                             memory_space=pltpu.VMEM)

@@ -228,6 +228,7 @@ def _blocks_and_head(params, cfg: WanDiTConfig, h, e, e0, ctx,
                      rope_cos, rope_sin, t_zero_mask, self_kv_len, *,
                      policy: DTypePolicy, sp_axis: Optional[str] = None,
                      sp_impl: str = "ulysses",  # 'ulysses' | 'ring'
+                     fused_rope: bool = False,
                      remat_blocks: bool = False) -> jnp.ndarray:
     """Block scan + modulated head over (possibly seq-local) tokens.
 
@@ -242,6 +243,15 @@ def _blocks_and_head(params, cfg: WanDiTConfig, h, e, e0, ctx,
     rdt = policy.residual_dtype
     x32 = h.astype(rdt)  # residual stream (fp32 default; bf16 policy opt)
 
+    # fused-rope prologue (inference fast path): the per-layer fp32
+    # cast/rotate/cast chain over q/k (~300 ms/step at the 1.3B point)
+    # moves into the Pallas kernel; tables built once per forward
+    rope_tabs = None
+    if fused_rope and sp_axis is None:
+        from ...kernels.flash_attention import build_fused_rope_tables
+        rope_tabs = build_fused_rope_tables(rope_cos, rope_sin,
+                                            cfg.head_dim)
+
     def block_fn(x32, bp):
         mod = bp["modulation"].astype(jnp.float32)[None, None] + e0
         # mod [B, 2, 6, dim] -> per-token selections
@@ -252,8 +262,11 @@ def _blocks_and_head(params, cfg: WanDiTConfig, h, e, e0, ctx,
         y = _modulated(x32, sel(0), sel(1), cfg.eps)
         y = y.astype(policy.compute_dtype)
         q, k, v = _attn_qkv(bp["self_attn"], y, n, policy)
-        q = apply_rope(q, rope_cos, rope_sin).astype(policy.compute_dtype)
-        k = apply_rope(k, rope_cos, rope_sin).astype(policy.compute_dtype)
+        if rope_tabs is None:
+            q = apply_rope(q, rope_cos,
+                           rope_sin).astype(policy.compute_dtype)
+            k = apply_rope(k, rope_cos,
+                           rope_sin).astype(policy.compute_dtype)
         if sp_axis is not None and sp_impl == "ring":
             # long-video slot: kv rotates around the ring, O(L/sp)
             # activations per chip (parallel/ring.py)
@@ -264,7 +277,8 @@ def _blocks_and_head(params, cfg: WanDiTConfig, h, e, e0, ctx,
             attn = ulysses_attention(q, k, v, sp_axis,
                                      kv_len=self_kv_len)
         else:
-            attn = attention(q, k, v, kv_len=self_kv_len)
+            attn = attention(q, k, v, kv_len=self_kv_len,
+                             rope_tables=rope_tabs)
         # named for the 'attn' remat policy: saving just this tensor
         # (~100 MB/block at 33k tokens) lets the backward skip
         # re-running the flash forward while everything else remats
@@ -351,6 +365,7 @@ def wan_dit_forward(
     t_zero_mask: Optional[jnp.ndarray] = None,  # [B, L] True -> token t=0
     seq_pad_to: Optional[int] = None,
     policy: DTypePolicy = DEFAULT_POLICY,
+    fused_rope: bool = False,  # inference-only in-kernel rope prologue
     remat_blocks=False,  # False | True (full) | 'attn' (save attn_out)
 ) -> jnp.ndarray:
     """Velocity prediction [B, F, H, W, C_out] (fp32), single program
@@ -374,6 +389,7 @@ def wan_dit_forward(
 
     out = _blocks_and_head(params, cfg, h, e, e0, ctx, rope_cos, rope_sin,
                            t_zero_mask, self_kv_len, policy=policy,
+                           fused_rope=fused_rope,
                            remat_blocks=remat_blocks)
     return unpatchify_tokens(out.astype(jnp.float32), grid, cfg.patch_size,
                              cfg.out_dim)

@@ -130,7 +130,7 @@ class WanMoEPipeline:
                     mesh=self.mesh, seq_pad_to=seq_len, policy=self.policy)
             return wan_dit_forward(
                 params, cfg, x2, t2, ctx, rope_cos, rope_sin,
-                seq_pad_to=seq_len, policy=self.policy)
+                seq_pad_to=seq_len, policy=self.policy, fused_rope=True)
 
         def run(low_params, high_params, noise, context, context_null, y):
             # noise [1, F, H, W, z]; y [1, F, H, W, 4+z] (i2v) else unused

@@ -182,7 +182,7 @@ class WanTI2VPipeline:
                 return wan_dit_forward(
                     dit_params, cfg, x2, t2, ctx, rope_cos, rope_sin,
                     t_zero_mask=t_zero, seq_pad_to=seq_len,
-                    policy=self.policy)
+                    policy=self.policy, fused_rope=True)
 
             if use_ts:
                 def body(carry, xs):

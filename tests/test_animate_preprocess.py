@@ -372,3 +372,72 @@ def test_animate_relight_lora_hook():
     np.testing.assert_array_equal(
         np.asarray(base.params["patch_embed"]["w"]),
         np.asarray(merged.params["patch_embed"]["w"]))
+
+
+def test_flux_edit_hook_drives_retarget_ratios(tmp_path):
+    """The FLUX-Kontext edit seam (process_pipepline.py:180-215): in
+    retarget mode with an edit_fn, both the reference image and the
+    first template frame go through the editor with visibility-
+    dependent canonical-pose prompts, and the bone ratios come from
+    the re-detected EDITED skeletons."""
+    from univid_tpu.cli.preprocess_animate import (_mock_pose_fn,
+                                                   main as prep_main)
+    from univid_tpu.data.video_io import save_video
+    from PIL import Image
+
+    calls = []
+
+    def edit_fn(img, prompt):
+        calls.append(prompt)
+        return img
+
+    rng = np.random.default_rng(21)
+    vid = str(tmp_path / "drive.mp4")
+    save_video(rng.integers(0, 255, (4, 96, 128, 3), np.uint8), vid,
+               fps=8)
+    ref = str(tmp_path / "ref.png")
+    Image.fromarray(rng.integers(0, 255, (64, 96, 3), np.uint8)
+                    .astype(np.uint8)).save(ref)
+    out = str(tmp_path / "prep_out")
+    meta = prep_main(["--video_path", vid, "--refer_path", ref,
+                      "--save_path", out, "--resolution_area", "160",
+                      "96", "--fps", "-1", "--retarget_flag",
+                      "--use_flux", "--mock_detectors"],
+                     edit_fn=edit_fn)
+    assert len(calls) == 2  # refer + first template frame
+    for prompt in calls:
+        assert "standard" in prompt and "pose" in prompt.lower()
+    assert meta["retarget"]
+
+
+def test_flux_requires_retarget(tmp_path):
+    import pytest
+    from univid_tpu.cli.preprocess_animate import main as prep_main
+
+    with pytest.raises(SystemExit, match="retargeting"):
+        prep_main(["--video_path", "x", "--refer_path", "y",
+                   "--save_path", "z", "--use_flux"])
+
+
+def test_editing_prompts_visibility_rules():
+    from univid_tpu.data.animate_preprocess import (PoseMeta,
+                                                    editing_prompts)
+
+    body = np.zeros((20, 3), np.float32)
+    body[:, 2] = 0.9
+    body[:, 0] = 50
+    body[:, 1] = 40
+    m = PoseMeta(body=body.copy())
+    # landscape frame with everything visible: T-pose + feet/hands
+    tpl, ref = editing_prompts([m], m, (96, 160))
+    assert "T-pose" in tpl and "Feet and Hands" in tpl
+    # portrait: arms-down pose
+    tpl, _ = editing_prompts([m], m, (160, 96))
+    assert "straight down" in tpl
+    # legs out of frame (below the image): hands-only suffix
+    body2 = body.copy()
+    for i in (9, 10, 12, 13):
+        body2[i, 1] = 500.0
+    m2 = PoseMeta(body=body2)
+    tpl, _ = editing_prompts([m2], m2, (96, 160))
+    assert "Hands are visible" in tpl and "Feet" not in tpl

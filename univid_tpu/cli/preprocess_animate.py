@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mock_detectors", action="store_true",
                    help="Deterministic synthetic pose/mask detectors "
                         "(hermetic smoke run; chain is identical)")
+    p.add_argument("--use_flux", action="store_true",
+                   help="FLUX-Kontext canonical-pose editing before "
+                        "bone-ratio estimation (retarget mode only; "
+                        "needs an injected edit_fn or --mock_detectors)")
     return p
 
 
@@ -76,11 +80,14 @@ def _mock_mask_fn(frames: np.ndarray, metas):
     return m
 
 
-def main(argv=None, pose_fn=None, mask_fn=None):
+def main(argv=None, pose_fn=None, mask_fn=None, edit_fn=None):
     """CLI entry. Real detectors (ViTPose/YOLO/SAM2) are injected via
     pose_fn/mask_fn; with --mock_detectors the synthetic stand-ins run
     the identical deterministic chain."""
     args = build_parser().parse_args(argv)
+    if args.use_flux and not args.retarget_flag:
+        raise SystemExit("Image editing with FLUX can only be used "
+                         "when pose retargeting is enabled")
     from ..data.animate_preprocess import (AnimatePreprocessPipeline,
                                            get_frame_indices)
     from ..data.video_io import read_video_frames
@@ -97,6 +104,8 @@ def main(argv=None, pose_fn=None, mask_fn=None):
 
     if args.mock_detectors:
         pose_fn, mask_fn = _mock_pose_fn, _mock_mask_fn
+        if args.use_flux and edit_fn is None:
+            edit_fn = lambda img, prompt: img  # noqa: E731
     elif pose_fn is None and args.ckpt_path:
         from ..data.pose2d import Pose2dDriver
         pose_ckpt = os.path.join(args.ckpt_path, "pose2d",
@@ -116,7 +125,14 @@ def main(argv=None, pose_fn=None, mask_fn=None):
             "hermetic chain, or call main(argv, pose_fn=..., "
             "mask_fn=...) with custom detector callables")
 
-    pipe = AnimatePreprocessPipeline(pose_fn, mask_fn)
+    if args.use_flux and edit_fn is None:
+        raise SystemExit(
+            "--use_flux needs an injected edit_fn (FLUX-Kontext is an"
+            " external torch model): call main(argv, edit_fn=...) or"
+            " use --mock_detectors for the hermetic chain")
+    pipe = AnimatePreprocessPipeline(
+        pose_fn, mask_fn,
+        edit_fn=edit_fn if args.use_flux else None)
     bundle = pipe(frames, refer,
                   resolution_area=tuple(args.resolution_area),
                   replace=args.replace_flag,

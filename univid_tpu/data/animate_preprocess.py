@@ -537,6 +537,49 @@ class PoseMeta:
     face: Optional[np.ndarray] = None      # [F, 3]
 
 
+_TPOSE = ("Change the person to a standard T-pose (facing forward with "
+          "arms extended). ")
+_APOSE = ("Change the person to a standard pose with the face oriented "
+          "forward and arms extending straight down by the sides. ")
+
+
+def editing_prompts(metas: List["PoseMeta"], ref_meta: "PoseMeta",
+                    frame_hw: Tuple[int, int]
+                    ) -> Tuple[str, str]:
+    """(template_prompt, refer_prompt) for the FLUX-Kontext editor —
+    visibility-dependent canonical-pose instructions (reference
+    get_editing_prompts, process_pipepline.py:237-276): landscape
+    frames get a T-pose, portrait an arms-down pose; the suffix states
+    which extremities must stay visible, decided by whether any
+    template frame shows confident in-frame elbows/wrists (rows
+    3/4/6/7 of the 20-joint body) or knees/ankles (9/10/12/13)."""
+    h, w = frame_hw
+
+    def in_frame(kp):
+        return (0 <= kp[0] <= w) and (0 <= kp[1] <= h) and kp[2] >= 0.75
+
+    arm_visible = leg_visible = False
+    for m in metas:
+        b = m.body
+        if any(in_frame(b[i]) for i in (3, 4, 6, 7)):
+            arm_visible = True
+        if any(in_frame(b[i]) for i in (9, 10, 12, 13)):
+            leg_visible = True
+        if arm_visible and leg_visible:
+            break
+
+    def prompt(landscape: bool) -> str:
+        base = _TPOSE if landscape else _APOSE
+        if leg_visible:
+            return base + ("The person is standing. Feet and Hands are "
+                           "visible in the image.")
+        if arm_visible:
+            return base + "Hands are visible in the image."
+        return base + "The upper body is visible in the image."
+
+    return prompt(w > h), prompt(w > h)
+
+
 class AnimatePreprocessPipeline:
     """frames + reference image -> the WanAnimate conditioning bundle.
 
@@ -548,9 +591,16 @@ class AnimatePreprocessPipeline:
     """
 
     def __init__(self, pose_fn: Callable, mask_fn: Optional[Callable]
-                 = None):
+                 = None, edit_fn: Optional[Callable] = None):
+        """edit_fn(image u8 [H, W, 3], prompt) -> u8 [H, W, 3]: the
+        FLUX-Kontext reference-editing hook (process_pipepline.py:
+        36-37, 180-215) — standardizes the reference and first template
+        frame into canonical poses before bone-ratio estimation in
+        retarget mode. Injection seam like mask_fn: the editor is an
+        external torch diffusion model with no TPU role."""
         self.pose_fn = pose_fn
         self.mask_fn = mask_fn
+        self.edit_fn = edit_fn
 
     def __call__(self, frames: np.ndarray, refer_img: np.ndarray, *,
                  resolution_area: Tuple[int, int] = (1280, 720),
@@ -574,7 +624,24 @@ class AnimatePreprocessPipeline:
             retarget = False
         if retarget:
             ref_meta: PoseMeta = self.pose_fn(refer[None])[0]
-            ratios = bone_ratios(metas[0].body, ref_meta.body)
+            ratio_src, ratio_dst = metas[0].body, ref_meta.body
+            if self.edit_fn is not None:
+                # FLUX-Kontext editing (process_pipepline.py:180-215):
+                # standardize both subjects into canonical poses, re-run
+                # pose detection on the edits, and estimate bone ratios
+                # from the standardized skeletons
+                tpl_prompt, ref_prompt = editing_prompts(
+                    metas, ref_meta, (h, w))
+                ref_edit = padding_resize(
+                    np.asarray(self.edit_fn(refer, ref_prompt)), h, w)
+                tpl_edit = padding_resize(
+                    np.asarray(self.edit_fn(frames[0], tpl_prompt)),
+                    h, w)
+                ref_edit_meta = self.pose_fn(ref_edit[None])[0]
+                tpl_edit_meta = self.pose_fn(tpl_edit[None])[0]
+                ratio_src = tpl_edit_meta.body
+                ratio_dst = ref_edit_meta.body
+            ratios = bone_ratios(ratio_src, ratio_dst)
             anchor = ref_meta.body[1, :2]
             for m in metas:
                 new_body = retarget_body(m.body, ratios, anchor=anchor)

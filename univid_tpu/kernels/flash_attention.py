@@ -96,9 +96,15 @@ def _flash_kernel(
         the q tables fold in softmax_scale*log2e — see
         build_fused_rope_tables). VPU register work instead of the
         ~300 ms/step of fp32 cast/rev/mul HBM passes the XLA-side
-        rotation cost on the 1.3B."""
-        rows, d = x32.shape
-        sw = x32.reshape(rows, d // 2, 2)[:, :, ::-1].reshape(rows, d)
+        rotation cost on the 1.3B. swap_pairs (sw[i] = x[i^1]) is two
+        cyclic lane rolls + a parity select: Pallas TPU has no lowering
+        for rev, and the (rows, d/2, 2) reshape it needed is
+        layout-hostile on the lane dimension anyway."""
+        _, d = x32.shape
+        lane = jax.lax.broadcasted_iota(jnp.int32, x32.shape, 1)
+        nxt = pltpu.roll(x32, d - 1, 1)  # nxt[i] = x[(i + 1) % d]
+        prv = pltpu.roll(x32, 1, 1)      # prv[i] = x[(i - 1) % d]
+        sw = jnp.where((lane & 1) == 0, nxt, prv)
         return x32 * c_ref[...] + sw * s_ref[...]
 
     @pl.when(i_k == 0)
@@ -119,6 +125,13 @@ def _flash_kernel(
         if has_q_offsets:
             first_masked_col = first_masked_col + scalar_ref[1, b]
         run = i_k * block_k < first_masked_col
+    if has_kv_len:
+        # kv blocks entirely beyond kv_len contribute p == 0 to both the
+        # accumulator and the denominator — skip them outright. Makes the
+        # up-front token pad (pipelines/ti2v.py) nearly free in attention
+        # even when it rounds the sequence up by a whole block (e.g. the
+        # 704p ref point: 27,280 -> 28,672 tokens).
+        run = run & (i_k * block_k < scalar_ref[0, b])
 
     def _mask_scores_fwd(s, mask_kv):
         """Mask ops for blocks that need them (same predicate as
@@ -436,7 +449,11 @@ def flash_attention_padded(
             interpret=interpret,
             cost_estimate=cost_estimate,
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary")),
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                # the fused-rope prologue adds 4 fp32 table blocks +
+                # a rotated-q scratch; at bq=2048/bk=1024 the default
+                # 16 MiB scoped-vmem limit overflows by ~36 KiB on v5e
+                vmem_limit_bytes=64 * 1024 * 1024),
         )(scalars, *inputs)
     else:
         out = pl.pallas_call(
@@ -449,7 +466,11 @@ def flash_attention_padded(
             interpret=interpret,
             cost_estimate=cost_estimate,
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary")),
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                # the fused-rope prologue adds 4 fp32 table blocks +
+                # a rotated-q scratch; at bq=2048/bk=1024 the default
+                # 16 MiB scoped-vmem limit overflows by ~36 KiB on v5e
+                vmem_limit_bytes=64 * 1024 * 1024),
         )(*inputs)
 
     if save_residuals:
@@ -796,7 +817,11 @@ def flash_attention_bwd_padded(
             out_shape=dq_out_shape, interpret=interpret,
             cost_estimate=bwd_cost,
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary")),
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                # the fused-rope prologue adds 4 fp32 table blocks +
+                # a rotated-q scratch; at bq=2048/bk=1024 the default
+                # 16 MiB scoped-vmem limit overflows by ~36 KiB on v5e
+                vmem_limit_bytes=64 * 1024 * 1024),
         )(scalars, *dq_inputs)
     else:
         dqf = pl.pallas_call(
@@ -805,7 +830,11 @@ def flash_attention_bwd_padded(
             scratch_shapes=dq_scratch, interpret=interpret,
             cost_estimate=bwd_cost,
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary")),
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                # the fused-rope prologue adds 4 fp32 table blocks +
+                # a rotated-q scratch; at bq=2048/bk=1024 the default
+                # 16 MiB scoped-vmem limit overflows by ~36 KiB on v5e
+                vmem_limit_bytes=64 * 1024 * 1024),
         )(*dq_inputs)
 
     # ---- dk/dv: grid (B*N, nk, nq), q innermost ----
@@ -848,7 +877,11 @@ def flash_attention_bwd_padded(
             out_shape=dkv_out_shapes, interpret=interpret,
             cost_estimate=bwd_cost,
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary")),
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                # the fused-rope prologue adds 4 fp32 table blocks +
+                # a rotated-q scratch; at bq=2048/bk=1024 the default
+                # 16 MiB scoped-vmem limit overflows by ~36 KiB on v5e
+                vmem_limit_bytes=64 * 1024 * 1024),
         )(scalars, *dkv_inputs)
     else:
         dkf, dvf = pl.pallas_call(
@@ -857,7 +890,11 @@ def flash_attention_bwd_padded(
             scratch_shapes=dkv_scratch, interpret=interpret,
             cost_estimate=bwd_cost,
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary")),
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                # the fused-rope prologue adds 4 fp32 table blocks +
+                # a rotated-q scratch; at bq=2048/bk=1024 the default
+                # 16 MiB scoped-vmem limit overflows by ~36 KiB on v5e
+                vmem_limit_bytes=64 * 1024 * 1024),
         )(*dkv_inputs)
 
     def unfold(x, length):

@@ -293,6 +293,8 @@ def main():
                 "bench_train.py"), "BENCH_TRAIN_STEPS": "2"})
             detail["train_step_ms"] = tr["train_step_ms"]
             detail["train_resolution"] = tr["resolution"]
+            if "est_mfu" in tr:
+                detail["train_est_mfu"] = tr["est_mfu"]
         except Exception as e:  # noqa: BLE001
             detail["train_step_ms"] = {"error": str(e)[:200]}
 

@@ -147,3 +147,35 @@ def test_taylorseer_threshold3_bounded(pipe):
     # extrapolation error stays bounded at tiny scale
     denom = np.abs(base).mean() + 1e-6
     assert np.abs(ts3 - base).mean() / denom < 1.0
+
+
+def test_chunked_dispatch_matches_single(pipe):
+    """The chunked denoise dispatcher (bounded device executes,
+    pipelines/ti2v.py run()) is bit-identical to one whole-schedule
+    dispatch, including a remainder chunk (7 steps @ k=2 -> 2,2,2,1)
+    and the donated solver-state/Taylor-factor buffers."""
+    kw = dict(size=(32, 32), frame_num=5, sampling_steps=7, seed=11,
+              decode=False)
+    ctx, nctx = _ctx(pipe.spec, 0), _ctx(pipe.spec, 1)
+    old = pipe.dispatch_steps
+    try:
+        pipe.dispatch_steps = 0
+        type(pipe)._denoise_fn.cache_clear()
+        whole = np.asarray(pipe.generate(ctx, nctx, **kw))
+        pipe.dispatch_steps = 2
+        type(pipe)._denoise_fn.cache_clear()
+        chunked = np.asarray(pipe.generate(ctx, nctx, **kw))
+        # and with TaylorSeer factors riding across chunk boundaries
+        pipe.dispatch_steps = 0
+        type(pipe)._denoise_fn.cache_clear()
+        whole_ts = np.asarray(pipe.generate(
+            ctx, nctx, taylorseer_threshold=3, **kw))
+        pipe.dispatch_steps = 2
+        type(pipe)._denoise_fn.cache_clear()
+        chunk_ts = np.asarray(pipe.generate(
+            ctx, nctx, taylorseer_threshold=3, **kw))
+    finally:
+        pipe.dispatch_steps = old
+        type(pipe)._denoise_fn.cache_clear()
+    np.testing.assert_array_equal(whole, chunked)
+    np.testing.assert_array_equal(whole_ts, chunk_ts)

@@ -58,9 +58,11 @@ class WanMoEPipeline:
 
     def __init__(self, spec: WanModelSpec, low_params, high_params,
                  vae_params, policy: DTypePolicy = DEFAULT_POLICY,
-                 sp_size: int = 1, mesh=None):
+                 sp_size: int = 1, mesh=None,
+                 dispatch_steps: Optional[int] = None):
         if spec.moe_boundary is None:
             raise ValueError(f"{spec.name} has no moe_boundary")
+        import os
         self.spec = spec
         self.low_params = low_params
         self.high_params = high_params
@@ -68,6 +70,10 @@ class WanMoEPipeline:
         self.policy = policy
         self.sp_size = sp_size
         self.mesh = mesh
+        if dispatch_steps is None:
+            dispatch_steps = int(os.environ.get(
+                "UNIVID_DISPATCH_STEPS", "5"))
+        self.dispatch_steps = dispatch_steps
         if sp_size > 1 and mesh is None:
             raise ValueError("sp_size > 1 requires a mesh")
 
@@ -132,12 +138,17 @@ class WanMoEPipeline:
                 params, cfg, x2, t2, ctx, rope_cos, rope_sin,
                 seq_pad_to=seq_len, policy=self.policy, fused_rope=True)
 
-        def run(low_params, high_params, noise, context, context_null, y):
-            # noise [1, F, H, W, z]; y [1, F, H, W, 4+z] (i2v) else unused
+        # host-side per-step arrays for the chunked dispatcher
+        arrs = {k: np.asarray(v) for k, v in arrs.items()}
+
+        def prep(noise, context, context_null):
             ctx_pair = jnp.concatenate([context, context_null], axis=0)
             state = unipc_init_state(noise,
                                      order=coeffs.pred_m.shape[1])
+            return state, ctx_pair
 
+        def chunk(low_params, high_params, state, ctx_pair, y,
+                  chunk_arrs):
             def body(state, xs):
                 ctx = ctx_pair
                 if tma_prefix > 0:
@@ -158,10 +169,28 @@ class WanMoEPipeline:
                 v_guided = v[1:2] + xs["gscale"] * (v[0:1] - v[1:2])
                 return step_fn(state, xs, v_guided), None
 
-            state, _ = jax.lax.scan(body, state, arrs)
+            state, _ = jax.lax.scan(body, state, chunk_arrs)
+            return state
+
+        prep_j = jax.jit(prep)
+        chunk_j = jax.jit(chunk, donate_argnums=(2,))
+
+        def run(low_params, high_params, noise, context, context_null, y):
+            # noise [1, F, H, W, z]; y [1, F, H, W, 4+z] (i2v) else unused
+            # chunked dispatch (see pipelines/ti2v.py): bounded device
+            # executes, one compiled program per chunk shape
+            k = self.dispatch_steps
+            state, ctx_pair = prep_j(noise, context, context_null)
+            spans = [(a, min(a + k, steps))
+                     for a in range(0, steps, k)] if 0 < k < steps \
+                else [(0, steps)]
+            for a, b in spans:
+                ca = {key: v[a:b] for key, v in arrs.items()}
+                state = chunk_j(low_params, high_params, state, ctx_pair,
+                                y, ca)
             return state["sample"]
 
-        return jax.jit(run)
+        return run
 
     # ------------------------------------------------------------------
     def generate(

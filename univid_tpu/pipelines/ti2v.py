@@ -61,17 +61,28 @@ class WanTI2VPipeline:
 
     def __init__(self, spec: WanModelSpec, dit_params, vae_params,
                  policy: DTypePolicy = DEFAULT_POLICY,
-                 sp_size: int = 1, mesh=None):
+                 sp_size: int = 1, mesh=None,
+                 dispatch_steps: Optional[int] = None):
         """mesh + sp_size>1 enables the sequence-parallel denoise: tokens
         shard over the mesh's `sp` axis inside the jitted scan
         (models/wan/dit.py wan_dit_forward_sp; reference
-        sequence_parallel.py:64-176 + textimage2video.py:289-291)."""
+        sequence_parallel.py:64-176 + textimage2video.py:289-291).
+
+        dispatch_steps bounds how many denoise steps run per device
+        dispatch (see the chunked-dispatch note in _denoise_fn);
+        default 5 (env UNIVID_DISPATCH_STEPS), 0 = whole schedule in
+        one dispatch."""
+        import os
         self.spec = spec
         self.dit_params = dit_params
         self.vae_params = vae_params
         self.policy = policy
         self.sp_size = sp_size
         self.mesh = mesh
+        if dispatch_steps is None:
+            dispatch_steps = int(os.environ.get(
+                "UNIVID_DISPATCH_STEPS", "5"))
+        self.dispatch_steps = dispatch_steps
         if sp_size > 1 and mesh is None:
             raise ValueError("sp_size > 1 requires a mesh")
 
@@ -145,27 +156,38 @@ class WanTI2VPipeline:
         rope_cos, rope_sin = build_rope_3d(cfg.head_dim, grid)
         per_frame_tokens = grid[1] * grid[2]
 
-        def run(dit_params, noise, context, context_null, z0):
-            # noise/z0: [1, F, H, W, C]; context*: [1, text_len, text_dim]
-            ctx_pair = jnp.concatenate([context, context_null], axis=0)
+        # per-step arrays stay on the HOST: the chunked dispatcher below
+        # slices them per dispatch and lets jit stage each slice
+        arrs = {k: np.asarray(v) for k, v in arrs.items()}
 
+        def _masks():
             if i2v:
                 l = grid[0] * per_frame_tokens
-                t_zero = jnp.zeros((2, l), bool).at[:, :per_frame_tokens] \
-                    .set(True)
+                t_zero = jnp.zeros((2, l), bool) \
+                    .at[:, :per_frame_tokens].set(True)
                 frame_mask = jnp.zeros((1, f, h, w, 1)) \
                     .at[:, :1].set(1.0)  # 1 where clamped to z0
+                return t_zero, frame_mask
+            return None, None
 
-                def clamp(x):
-                    return (frame_mask * z0 + (1.0 - frame_mask) * x)
-                latents = clamp(noise)
-            else:
-                t_zero = None
-                clamp = lambda x: x
-                latents = noise
-
+        def prep(noise, context, context_null, z0):
+            # noise/z0: [1, F, H, W, C]; context*: [1, text_len, text_dim]
+            ctx_pair = jnp.concatenate([context, context_null], axis=0)
+            _, frame_mask = _masks()
+            latents = (frame_mask * z0 + (1.0 - frame_mask) * noise) \
+                if i2v else noise
             state = unipc_init_state(latents,
                                      order=coeffs.pred_m.shape[1])
+            if use_ts:
+                factors = init_taylor_cache((2,) + latents.shape[1:])
+            else:
+                factors = jnp.zeros((0,), jnp.float32)
+            return state, factors, ctx_pair
+
+        def chunk(dit_params, state, factors, ctx_pair, z0, chunk_arrs):
+            t_zero, frame_mask = _masks()
+            clamp = (lambda x: frame_mask * z0 + (1.0 - frame_mask) * x) \
+                if i2v else (lambda x: x)
 
             def dit_v(sample, xs):
                 ctx = ctx_pair
@@ -209,9 +231,8 @@ class WanTI2VPipeline:
                     state = dict(state, sample=clamp(state["sample"]))
                     return (state, factors), None
 
-                factors0 = init_taylor_cache((2,) + latents.shape[1:])
-                (state, _), _ = jax.lax.scan(body, (state, factors0),
-                                             arrs)
+                (state, factors), _ = jax.lax.scan(body, (state, factors),
+                                                   chunk_arrs)
             else:
                 def body(state, xs):
                     v = dit_v(state["sample"], xs)
@@ -220,10 +241,38 @@ class WanTI2VPipeline:
                     state = dict(state, sample=clamp(state["sample"]))
                     return state, None
 
-                state, _ = jax.lax.scan(body, state, arrs)
+                state, _ = jax.lax.scan(body, state, chunk_arrs)
+            return state, factors
+
+        prep_j = jax.jit(prep)
+        # donate solver state + Taylor factors: they are dead after each
+        # dispatch, and at 704p the UniPC multistep buffers are ~100 MB
+        chunk_j = jax.jit(chunk, donate_argnums=(1, 2))
+
+        def run(dit_params, noise, context, context_null, z0):
+            # CHUNKED DISPATCH: the denoise scan executes
+            # dispatch_steps-at-a-time instead of as one 50-step device
+            # program. A single full-schedule execute runs minutes on
+            # device and environments with an execute watchdog (the
+            # tunneled dev chip kills executes over ~60 s) or preemption
+            # need bounded dispatches; every full chunk reuses ONE
+            # compiled program, so the overhead is a handful of ~ms
+            # dispatches per video. This also mirrors the reference's
+            # per-step host loop granularity (textimage2video.py:367-394
+            # tqdm) without its per-step sync.
+            k = self.dispatch_steps
+            state, factors, ctx_pair = prep_j(noise, context,
+                                              context_null, z0)
+            spans = [(a, min(a + k, steps))
+                     for a in range(0, steps, k)] if 0 < k < steps \
+                else [(0, steps)]
+            for a, b in spans:
+                ca = {key: v[a:b] for key, v in arrs.items()}
+                state, factors = chunk_j(dit_params, state, factors,
+                                         ctx_pair, z0, ca)
             return state["sample"]
 
-        return jax.jit(run)
+        return run
 
     # ------------------------------------------------------------------
     def generate(

@@ -155,6 +155,12 @@ def make_diffusion_train_step(spec: WanModelSpec, fusion_cfg: FusionConfig,
     pt, ph, pw = cfg.patch_size
     rope_cos, rope_sin = build_rope_3d(cfg.head_dim,
                                        (f // pt, h // ph, w // pw))
+    # pad the token axis ONCE to the flash block multiple (same move as
+    # pipelines/ti2v.py): without it every block re-pads q/k/v to 2048
+    # and re-slices — and in training that copy traffic is paid in the
+    # forward, the remat recompute, AND the backward
+    seq_len = (f // pt) * (h // ph) * (w // pw)
+    seq_pad = -(-seq_len // 2048) * 2048 if seq_len > 2048 else None
 
     def loss_fn(trainable, batch, base_params):
         ctx = context_projector_forward(trainable["projector"], fusion_cfg,
@@ -171,7 +177,8 @@ def make_diffusion_train_step(spec: WanModelSpec, fusion_cfg: FusionConfig,
         sigma = t.astype(jnp.float32) / train_cfg.num_train_timesteps
         x_t = add_flow_noise(x0, noise, sigma[:, None, None, None, None])
         v_pred = wan_dit_forward(params, cfg, x_t, t, ctx, rope_cos,
-                                 rope_sin, remat_blocks=remat_blocks)
+                                 rope_sin, seq_pad_to=seq_pad,
+                                 remat_blocks=remat_blocks)
         target = (noise - x0).astype(jnp.float32)
         return jnp.mean(jnp.square(v_pred - target))
 

@@ -89,8 +89,14 @@ class WanAnimatePipeline:
                  clip_params=None,
                  policy: DTypePolicy = DEFAULT_POLICY,
                  num_train_timesteps: int = 1000,
-                 relight_lora=None):
+                 relight_lora=None,
+                 dispatch_steps: Optional[int] = None):
+        import os
         self.cfg = animate_cfg
+        if dispatch_steps is None:
+            dispatch_steps = int(os.environ.get(
+                "UNIVID_DISPATCH_STEPS", "5"))
+        self.dispatch_steps = dispatch_steps
         if relight_lora is not None:
             # replacement-mode relighting LoRA merged into the animate
             # DiT weights (reference animate.py:179-189 loads a
@@ -120,15 +126,13 @@ class WanAnimatePipeline:
         gen = GenerationConfig(sampling_steps=steps, shift=shift,
                                sample_solver=solver)
         _, coeffs, step_fn = self._solver(gen)
-        arrs = coeffs.device_arrays()
+        arrs = {k: np.asarray(v) for k, v in
+                coeffs.device_arrays().items()}
         from ..ops.samplers import unipc_init_state
         use_cfg = guide_scale > 1.0
 
-        def run(params, noise, context, context_null, y, clip_fea,
-                pose_latents, face, face_uncond):
-            state = unipc_init_state(noise,
-                                     order=coeffs.pred_m.shape[1])
-
+        def chunk(params, state, context, context_null, y, clip_fea,
+                  pose_latents, face, face_uncond, chunk_arrs):
             def forward(x, tstep, ctx, face_in):
                 x_in = jnp.concatenate(
                     [x.astype(jnp.float32), y.astype(jnp.float32)],
@@ -146,10 +150,31 @@ class WanAnimatePipeline:
                     v = v_un + guide_scale * (v - v_un)
                 return step_fn(state, xs, v), None
 
-            state, _ = jax.lax.scan(body, state, arrs)
+            state, _ = jax.lax.scan(body, state, chunk_arrs)
+            return state
+
+        init_j = jax.jit(lambda noise: unipc_init_state(
+            noise, order=coeffs.pred_m.shape[1]))
+        chunk_j = jax.jit(chunk, donate_argnums=(1,))
+
+        def run(params, noise, context, context_null, y, clip_fea,
+                pose_latents, face, face_uncond):
+            # chunked dispatch (see pipelines/ti2v.py): bounded device
+            # executes — at 14B the per-clip schedule would otherwise be
+            # one multi-minute device program
+            k = self.dispatch_steps
+            state = init_j(noise)
+            spans = [(a, min(a + k, steps))
+                     for a in range(0, steps, k)] if 0 < k < steps \
+                else [(0, steps)]
+            for a, b in spans:
+                ca = {key: v[a:b] for key, v in arrs.items()}
+                state = chunk_j(params, state, context, context_null, y,
+                                clip_fea, pose_latents, face, face_uncond,
+                                ca)
             return state["sample"]
 
-        return jax.jit(run)
+        return run
 
     @functools.lru_cache(maxsize=2)
     def _decode_jit(self):

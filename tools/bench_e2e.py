@@ -98,10 +98,15 @@ def main():
 
     kw = dict(size=(w, h), frame_num=frames, sampling_steps=steps,
               seed=0)
-    # compile pass (2 steps) so the timed run measures execution only —
-    # the reference's sec/video also excludes one-time CUDA warmup
+    # compile pass of exactly ONE full dispatch chunk: the chunk jit
+    # program is keyed without the step count (ti2v._chunk_progs), so
+    # this warmup compiles the same executable the 50-step schedule
+    # reuses — the timed run then measures execution only (the
+    # reference's sec/video also excludes one-time CUDA warmup)
+    warm_steps = pipe.dispatch_steps if 0 < pipe.dispatch_steps < steps \
+        else min(2, steps)
     warm = pipe.generate(jnp.asarray(ctx), jnp.asarray(ctx_null),
-                         **{**kw, "sampling_steps": 2})
+                         **{**kw, "sampling_steps": warm_steps})
     jax.block_until_ready(warm)
     del warm
     t0 = time.perf_counter()

@@ -150,15 +150,61 @@ class WanTI2VPipeline:
             tma_prefix = 0
         arrs["tma_w"] = jnp.asarray(tma_w)
 
+        # per-step arrays stay on the HOST: the chunked dispatcher below
+        # slices them per dispatch and lets jit stage each slice
+        arrs = {k: np.asarray(v) for k, v in arrs.items()}
+
+        prep_j, chunk_j = self._chunk_progs(
+            latent_grid, seq_len, guide_scale, solver, i2v, tma_prefix,
+            use_ts, int(coeffs.pred_m.shape[1]))
+
+        def run(dit_params, noise, context, context_null, z0):
+            # CHUNKED DISPATCH: the denoise scan executes
+            # dispatch_steps-at-a-time instead of as one 50-step device
+            # program. A single full-schedule execute runs minutes on
+            # device and environments with an execute watchdog (the
+            # tunneled dev chip kills executes over ~60 s) or preemption
+            # need bounded dispatches; every full chunk reuses ONE
+            # compiled program, so the overhead is a handful of ~ms
+            # dispatches per video. This also mirrors the reference's
+            # per-step host loop granularity (textimage2video.py:367-394
+            # tqdm) without its per-step sync.
+            k = self.dispatch_steps
+            state, factors, ctx_pair = prep_j(noise, context,
+                                              context_null, z0)
+            spans = [(a, min(a + k, steps))
+                     for a in range(0, steps, k)] if 0 < k < steps \
+                else [(0, steps)]
+            for a, b in spans:
+                ca = {key: v[a:b] for key, v in arrs.items()}
+                state, factors = chunk_j(dit_params, state, factors,
+                                         ctx_pair, z0, ca)
+            return state["sample"]
+
+        return run
+
+    @functools.lru_cache(maxsize=8)
+    def _chunk_progs(self, latent_grid: Tuple[int, int, int],
+                     seq_len: int, guide_scale: float, solver: str,
+                     i2v: bool, tma_prefix: int, use_ts: bool,
+                     order: int):
+        """jit programs for the denoise prep + chunk — deliberately keyed
+        WITHOUT the step count: the chunk program consumes per-step
+        coefficient slices as runtime inputs, so a dispatch_steps-long
+        warmup, the full 50-step schedule, and any remainder chunk all
+        share one traced jit wrapper (full-length chunks then share one
+        compiled executable)."""
+        cfg = self.spec.dit
+        step_fn = unipc_step if solver == "unipc" else dpm_step
+        if use_ts:
+            from ..ops.taylorseer import (init_taylor_cache,
+                                          taylor_predict, taylor_update)
+
         f, h, w = latent_grid
         pt, ph, pw = cfg.patch_size
         grid = (f // pt, h // ph, w // pw)
         rope_cos, rope_sin = build_rope_3d(cfg.head_dim, grid)
         per_frame_tokens = grid[1] * grid[2]
-
-        # per-step arrays stay on the HOST: the chunked dispatcher below
-        # slices them per dispatch and lets jit stage each slice
-        arrs = {k: np.asarray(v) for k, v in arrs.items()}
 
         def _masks():
             if i2v:
@@ -176,8 +222,7 @@ class WanTI2VPipeline:
             _, frame_mask = _masks()
             latents = (frame_mask * z0 + (1.0 - frame_mask) * noise) \
                 if i2v else noise
-            state = unipc_init_state(latents,
-                                     order=coeffs.pred_m.shape[1])
+            state = unipc_init_state(latents, order=order)
             if use_ts:
                 factors = init_taylor_cache((2,) + latents.shape[1:])
             else:
@@ -248,31 +293,7 @@ class WanTI2VPipeline:
         # donate solver state + Taylor factors: they are dead after each
         # dispatch, and at 704p the UniPC multistep buffers are ~100 MB
         chunk_j = jax.jit(chunk, donate_argnums=(1, 2))
-
-        def run(dit_params, noise, context, context_null, z0):
-            # CHUNKED DISPATCH: the denoise scan executes
-            # dispatch_steps-at-a-time instead of as one 50-step device
-            # program. A single full-schedule execute runs minutes on
-            # device and environments with an execute watchdog (the
-            # tunneled dev chip kills executes over ~60 s) or preemption
-            # need bounded dispatches; every full chunk reuses ONE
-            # compiled program, so the overhead is a handful of ~ms
-            # dispatches per video. This also mirrors the reference's
-            # per-step host loop granularity (textimage2video.py:367-394
-            # tqdm) without its per-step sync.
-            k = self.dispatch_steps
-            state, factors, ctx_pair = prep_j(noise, context,
-                                              context_null, z0)
-            spans = [(a, min(a + k, steps))
-                     for a in range(0, steps, k)] if 0 < k < steps \
-                else [(0, steps)]
-            for a, b in spans:
-                ca = {key: v[a:b] for key, v in arrs.items()}
-                state, factors = chunk_j(dit_params, state, factors,
-                                         ctx_pair, z0, ca)
-            return state["sample"]
-
-        return run
+        return prep_j, chunk_j
 
     # ------------------------------------------------------------------
     def generate(

@@ -160,9 +160,10 @@ def measure(model: str, w: int, h: int, frames: int, steps_measured: int,
         # release the DiT weights before decode: at the 5B point the
         # 10 GB parameters + decode workspace exceed the 16 GB v5e
         x0 = jax.device_get(x0)
-        # the method-level lru_cache keys on `self`, keeping the
+        # the method-level lru_caches key on `self`, keeping the
         # pipeline (and its 10 GB of DiT weights) alive past `del`
         type(pipe)._denoise_fn.cache_clear()
+        type(pipe)._chunk_progs.cache_clear()
         del pipe, dit_params
         x0 = jnp.asarray(x0)
         vae_params = jax.device_put(vae_params, jax.devices()[0])

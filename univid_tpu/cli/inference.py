@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "the reference's BAGEL-side setting — full DiT "
                         "forward every 3rd step, Taylor-extrapolated "
                         "velocity between; quality/speed tradeoff)")
+    p.add_argument("--bf16_residual", action="store_true",
+                   help="run the DiT residual stream in bf16 (fp32 AdaLN/"
+                        "time-embed/softmax islands kept): ~35%% faster "
+                        "denoise, 43.6 dB PSNR / 2.0%% latent rel err vs "
+                        "the fp32-residual default at 832x480x81f/50 "
+                        "steps (tools/quality_sweep.py)")
     p.add_argument("--solver", type=str, default="unipc",
                    choices=["unipc", "dpm++", "dpm++3"])
     # TPU-specific
@@ -154,12 +160,15 @@ def build_pipeline(args):
         else:
             dit_params = merge_lora(dit_params, lora)
 
+    from ..core.dtypes import BF16_RESIDUAL_POLICY, DEFAULT_POLICY
+    policy = BF16_RESIDUAL_POLICY if getattr(args, "bf16_residual", False) \
+        else DEFAULT_POLICY
     if moe:
         from ..pipelines.moe import WanMoEPipeline
         pipe = WanMoEPipeline(spec, dit_params[0], dit_params[1],
-                              vae_params)
+                              vae_params, policy=policy)
     else:
-        pipe = WanTI2VPipeline(spec, dit_params, vae_params)
+        pipe = WanTI2VPipeline(spec, dit_params, vae_params, policy=policy)
     return pipe, spec, text_enc
 
 

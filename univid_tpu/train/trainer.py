@@ -50,11 +50,16 @@ def init_train_state(params, tx=None, learning_rate=1e-4):
 def make_dit_train_step(cfg: WanDiTConfig, tx, mesh=None,
                         rope: Optional[Tuple] = None,
                         policy: DTypePolicy = FP32_POLICY,
-                        num_train_timesteps: int = 1000):
+                        num_train_timesteps: int = 1000,
+                        remat_blocks=False,
+                        seq_pad_to: Optional[int] = None):
     """Flow-matching MSE train step; jitted, SPMD over the mesh in scope.
 
     batch: latents [B, F, H, W, C] (dp-sharded), context [B, L, D],
-    t [B] in [0, 1000), noise like latents.
+    t [B] in [0, 1000), noise like latents. remat_blocks (False | True |
+    'attn') rematerializes DiT blocks in the backward — required at real
+    video resolutions (33k tokens) where storing every block's
+    activations exceeds HBM.
     """
     rope_cos, rope_sin = rope
 
@@ -66,7 +71,8 @@ def make_dit_train_step(cfg: WanDiTConfig, tx, mesh=None,
         x_t = add_flow_noise(x0, noise, sigma[:, None, None, None, None])
         v_pred = wan_dit_forward(
             params, cfg, x_t, t, batch["context"], rope_cos, rope_sin,
-            policy=policy)
+            policy=policy, remat_blocks=remat_blocks,
+            seq_pad_to=seq_pad_to)
         target = (noise - x0).astype(jnp.float32)
         return jnp.mean(jnp.square(v_pred - target))
 

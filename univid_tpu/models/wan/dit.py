@@ -281,7 +281,12 @@ def _blocks_and_head(params, cfg: WanDiTConfig, h, e, e0, ctx,
                              rope_tables=rope_tabs)
         # named for the 'attn' remat policy: saving just this tensor
         # (~100 MB/block at 33k tokens) lets the backward skip
-        # re-running the flash forward while everything else remats
+        # re-running the flash forward while everything else remats.
+        # Saved in compute dtype: the o-projection consumes it in bf16
+        # anyway, and the fp32 flash output would double the saved-
+        # activation footprint to 5.6 GB for 30 blocks at 33k tokens —
+        # past HBM on a 16 GB v5e next to the 1.3B weights.
+        attn = attn.astype(policy.compute_dtype)
         attn = jax.ad_checkpoint.checkpoint_name(attn, "attn_out")
         attn = attn.reshape(b, l, cfg.dim)
         attn = nn.linear(bp["self_attn"]["o"], attn,

@@ -72,8 +72,15 @@ def main():
         return p
 
     dit_params = jax.jit(_init_dit)(jax.random.PRNGKey(0))
-    vae_params = jax.jit(lambda k: init_wan_vae(
-        k, spec.vae))(jax.random.PRNGKey(1))
+    # VAE weights host-staged until the decode phase: the 5B DiT (10 GB)
+    # does not share a 16 GB v5e with the VAE + decode workspace (same
+    # staging as bench.py)
+    # (real random weights — a zeros VAE would decode every latent to
+    # the same constant and void the PSNR comparison; the ~1 min of
+    # host RNG for the 5B variant is the price of a meaningful gate)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        vae_params = init_wan_vae(jax.random.PRNGKey(1), spec.vae)
     ctx = jax.random.normal(jax.random.PRNGKey(2),
                             (spec.dit.text_len, spec.dit.text_dim),
                             jnp.float32) * 0.02
@@ -82,7 +89,10 @@ def main():
     kw = dict(size=(w, h), frame_num=frames, sampling_steps=steps,
               seed=7)
 
+    pipe = None
+
     def run(policy, ts_threshold=0):
+        nonlocal pipe
         pipe = WanTI2VPipeline(spec, dit_params, vae_params,
                                policy=policy)
         t0 = time.perf_counter()
@@ -91,31 +101,36 @@ def main():
             decode=False, **kw))
         dt = time.perf_counter() - t0
         # decode=False returns the batched latent x0 [1, f, h, w, c]
-        v = np.asarray(pipe._decode_jit()(vae_params,
-                                          jnp.asarray(lat))[0])
-        return lat, v, dt
+        return lat, dt
 
     def relerr(a, b):
         return float(np.linalg.norm(a - b)
                      / max(np.linalg.norm(a), 1e-12))
 
+    # phase 1: denoise every variant, latents fetched to host
     out = {"resolution": f"{w}x{h}x{frames}f", "steps": steps,
            "model": model}
-    base_lat, base, base_s = run(DEFAULT_POLICY)
+    variants = {}
+    base_lat, base_s = run(DEFAULT_POLICY)
     out["baseline_fp32res_s"] = round(base_s, 1)
-
-    lat, v, dt = run(BF16_RESIDUAL_POLICY)
-    out["bf16_residual"] = {"psnr_db": round(psnr_u8(base, v), 2),
-                            "latent_rel_err": round(relerr(base_lat,
-                                                           lat), 5),
-                            "denoise_wall_s": round(dt, 1)}
-
+    variants["bf16_residual"] = run(BF16_RESIDUAL_POLICY)
     for t in thresholds:
-        lat, v, dt = run(DEFAULT_POLICY, ts_threshold=t)
-        out[f"taylorseer_t{t}"] = {
-            "psnr_db": round(psnr_u8(base, v), 2),
-            "latent_rel_err": round(relerr(base_lat, lat), 5),
-            "denoise_wall_s": round(dt, 1)}
+        variants[f"taylorseer_t{t}"] = run(DEFAULT_POLICY,
+                                           ts_threshold=t)
+
+    # phase 2: release the DiT, move the VAE onto the chip, decode all
+    from univid_tpu.models.wan.vae_api import vae_decode
+    type(pipe)._denoise_fn.cache_clear()
+    type(pipe)._chunk_progs.cache_clear()
+    del pipe, dit_params
+    vae_params = jax.device_put(vae_params, jax.devices()[0])
+    dec = jax.jit(lambda vp, z: vae_decode(vp, spec.vae, z))
+    base = np.asarray(dec(vae_params, jnp.asarray(base_lat))[0])
+    for name, (lat, dt) in variants.items():
+        v = np.asarray(dec(vae_params, jnp.asarray(lat))[0])
+        out[name] = {"psnr_db": round(psnr_u8(base, v), 2),
+                     "latent_rel_err": round(relerr(base_lat, lat), 5),
+                     "denoise_wall_s": round(dt, 1)}
     print(json.dumps(out))
 
 

@@ -25,8 +25,9 @@ property of the program and value distribution, not of trained values;
 trained-checkpoint validation additionally needs real weights and is
 noted as such where these numbers are published.
 
-Prints ONE JSON line. Env: TB_W/TB_H/TB_FRAMES (832x480x81),
-TB_MODEL (t2v-1.3B), TB_T5_LAYERS (8).
+Prints ONE JSON line. Env: TB_W/TB_H/TB_FRAMES (832x480x21 — see the
+frames note in main()), TB_BATCH (1), TB_MODEL (t2v-1.3B),
+TB_T5_LAYERS (8).
 """
 
 import json
@@ -77,7 +78,13 @@ def main():
     model = os.environ.get("TB_MODEL", "t2v-1.3B")
     w = int(os.environ.get("TB_W", "832"))
     h = int(os.environ.get("TB_H", "480"))
-    frames = int(os.environ.get("TB_FRAMES", "81"))
+    # 21 frames (8,190 tokens) default for the DiT stage: the fp32 XLA
+    # reference materializes the [B, heads, L, L] score matrix, which at
+    # the full 81f/33k-token point would need ~100 GB — per-token dtype
+    # drift is token-count-insensitive, and the full-33k end-to-end
+    # validation is quality_sweep.py's 50-step PSNR.
+    frames = int(os.environ.get("TB_FRAMES", "21"))
+    batch = int(os.environ.get("TB_BATCH", "1"))
     spec = WAN_CONFIGS[model]
     cfg = spec.dit
     _, lf, lh, lw = latent_shape(spec, w, h, frames)
@@ -97,10 +104,10 @@ def main():
         jax.random.PRNGKey(99), params32["head"]["head"]["w"].shape,
         jnp.float32) / d ** 0.5
     x32 = jax.random.normal(jax.random.PRNGKey(1),
-                            (2, lf, lh, lw, cfg.in_dim), jnp.float32)
-    t = jnp.full((2,), 500.0, jnp.float32)
+                            (batch, lf, lh, lw, cfg.in_dim), jnp.float32)
+    t = jnp.full((batch,), 500.0, jnp.float32)
     ctx32 = jax.random.normal(jax.random.PRNGKey(2),
-                              (2, cfg.text_len, cfg.text_dim),
+                              (batch, cfg.text_len, cfg.text_dim),
                               jnp.float32)
 
     def run(params, x, ctx, policy, backend):

@@ -94,7 +94,13 @@ def main():
     vae_shapes = jax.eval_shape(
         lambda k: init_wan_vae(k, spec.vae), jax.random.PRNGKey(1))
     vae_params = zeros_like_tree(vae_shapes)
-    pipe = WanTI2VPipeline(spec, dit_params, vae_params)
+    # same dtype policy selection as bench.py (bf16 residual is the
+    # quality-gated default; BENCH_BF16_RESIDUAL=0 for fp32 parity mode)
+    from univid_tpu.core.dtypes import BF16_RESIDUAL_POLICY, DEFAULT_POLICY
+    policy = BF16_RESIDUAL_POLICY \
+        if os.environ.get("BENCH_BF16_RESIDUAL", "1") != "0" \
+        else DEFAULT_POLICY
+    pipe = WanTI2VPipeline(spec, dit_params, vae_params, policy=policy)
 
     kw = dict(size=(w, h), frame_num=frames, sampling_steps=steps,
               seed=0)

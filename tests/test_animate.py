@@ -284,3 +284,56 @@ def test_convert_wan_animate_synthetic():
     out = _fwd(params)
     assert out.shape == (1, 3, 4, 4, cfg.out_dim)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_convert_clip_vit_roundtrip():
+    """convert_clip_vit (reference clip.py VisionTransformer naming,
+    'visual.' prefix) reproduces an init_clip_vision tree exactly."""
+    from univid_tpu.core.checkpoint import convert_clip_vit
+
+    ccfg = ClipVisionConfig(image_size=28, patch_size=14, dim=16,
+                            num_heads=2, num_layers=2)
+    ref_params = init_clip_vision(jax.random.PRNGKey(5), ccfg)
+    p = ccfg.patch_size
+    d = ccfg.dim
+
+    sd = {}
+    w = np.asarray(ref_params["patch_embed"]["w"])  # [p*p*3, d]
+    sd["visual.patch_embedding.weight"] = \
+        w.reshape(p, p, 3, d).transpose(3, 2, 0, 1)
+    sd["visual.cls_embedding"] = \
+        np.asarray(ref_params["cls"]).reshape(1, 1, d)
+    sd["visual.pos_embedding"] = \
+        np.asarray(ref_params["pos_embed"])[None]
+    sd["visual.pre_norm.weight"] = np.asarray(
+        ref_params["pre_norm"]["w"])
+    sd["visual.pre_norm.bias"] = np.asarray(ref_params["pre_norm"]["b"])
+    for i in range(ccfg.num_layers):
+        lyr = jax.tree_util.tree_map(lambda a: np.asarray(a[i]),
+                                     ref_params["layers"])
+        pre = f"visual.transformer.{i}"
+        sd[f"{pre}.norm1.weight"] = lyr["ln1"]["w"]
+        sd[f"{pre}.norm1.bias"] = lyr["ln1"]["b"]
+        sd[f"{pre}.norm2.weight"] = lyr["ln2"]["w"]
+        sd[f"{pre}.norm2.bias"] = lyr["ln2"]["b"]
+        sd[f"{pre}.attn.to_qkv.weight"] = np.concatenate(
+            [lyr["attn"][k]["w"].T for k in "qkv"], axis=0)
+        sd[f"{pre}.attn.to_qkv.bias"] = np.concatenate(
+            [lyr["attn"][k].get(
+                "b", np.zeros(d, np.float32)) for k in "qkv"], axis=0)
+        sd[f"{pre}.attn.proj.weight"] = lyr["attn"]["o"]["w"].T
+        sd[f"{pre}.attn.proj.bias"] = lyr["attn"]["o"].get(
+            "b", np.zeros(d, np.float32))
+        sd[f"{pre}.mlp.0.weight"] = lyr["mlp"]["fc0"]["w"].T
+        sd[f"{pre}.mlp.0.bias"] = lyr["mlp"]["fc0"].get(
+            "b", np.zeros(lyr["mlp"]["fc0"]["w"].shape[1], np.float32))
+        sd[f"{pre}.mlp.2.weight"] = lyr["mlp"]["fc1"]["w"].T
+        sd[f"{pre}.mlp.2.bias"] = lyr["mlp"]["fc1"].get(
+            "b", np.zeros(d, np.float32))
+
+    got = convert_clip_vit(sd, ccfg, dtype=jnp.float32)
+    img = jax.random.normal(jax.random.PRNGKey(6), (28, 28, 3))
+    out_ref = clip_visual_forward(ref_params, ccfg, img)
+    out_got = clip_visual_forward(got, ccfg, img)
+    np.testing.assert_allclose(np.asarray(out_got),
+                               np.asarray(out_ref), rtol=2e-5, atol=2e-5)

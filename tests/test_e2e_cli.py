@@ -201,3 +201,38 @@ def test_cli_t2v_use_lora(tmp_path):
                           "--lora_path", lora_dir,
                           "--output_dir", str(tmp_path / "out")] + BASE)
     assert os.path.exists(res[0]["video_path"])
+
+
+def test_cli_animate_from_preprocess(tmp_path):
+    """Full animate chain: preprocess CLI (mock detectors) -> inference
+    CLI --mode animate (tiny mock weights) -> decodable mp4 + metadata
+    (reference preprocess_data.py -> animate.py:297-648)."""
+    from PIL import Image
+
+    from univid_tpu.cli.inference import main as inference_main
+    from univid_tpu.cli.preprocess_animate import main as prep_main
+    from univid_tpu.data.video_io import read_video_frames, save_video
+
+    rng = np.random.default_rng(13)
+    vid = str(tmp_path / "drive.mp4")
+    save_video(rng.integers(0, 255, (8, 96, 128, 3), np.uint8), vid,
+               fps=8)
+    ref = str(tmp_path / "ref.png")
+    Image.fromarray(rng.integers(0, 255, (64, 96, 3), np.uint8)
+                    .astype(np.uint8)).save(ref)
+    prep_out = str(tmp_path / "prep_out")
+    prep_main(["--video_path", vid, "--refer_path", ref,
+               "--save_path", prep_out, "--resolution_area", "160", "96",
+               "--fps", "-1", "--replace_flag", "--mock_detectors"])
+
+    res = inference_main([
+        "--mode", "animate", "--model", "tiny-animate", "--mock_weights",
+        "--src_root_path", prep_out, "--replace_flag",
+        "--clip_len", "5", "--steps", "2", "--guidance", "1.0",
+        "--prompt", "a person dancing",
+        "--output_dir", str(tmp_path / "out")])
+    meta = res[0]
+    assert meta["mode"] == "animate" and meta["replace"]
+    frames = read_video_frames(meta["video_path"])
+    assert len(frames) == 8
+    assert os.path.exists(meta["video_path"] + ".json")

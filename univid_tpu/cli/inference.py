@@ -27,7 +27,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="High-Quality Video Generation with Dynamic Text "
                     "Weight (TPU)")
-    p.add_argument("--mode", type=str, choices=["t2v", "i2v", "both"],
+    p.add_argument("--mode", type=str,
+                   choices=["t2v", "i2v", "both", "animate"],
                    default="t2v")
     p.add_argument("--image", type=str, default=None,
                    help="Input image path for i2v mode")
@@ -59,6 +60,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "the reference's BAGEL-side setting — full DiT "
                         "forward every 3rd step, Taylor-extrapolated "
                         "velocity between; quality/speed tradeoff)")
+    # --mode animate (reference animate.py:297-360 generate surface;
+    # inputs are the preprocess CLI's output dir)
+    p.add_argument("--src_root_path", type=str, default=None,
+                   help="animate: dir holding src_pose.mp4 / "
+                        "src_face.mp4 / src_ref.png (+ src_bg.mp4 / "
+                        "src_mask.mp4 for --replace_flag) — the "
+                        "preprocess_animate CLI output")
+    p.add_argument("--replace_flag", action="store_true",
+                   help="animate: character replacement mode (bg+mask "
+                        "conditioning)")
+    p.add_argument("--refert_num", type=int, default=1, choices=[1, 5],
+                   help="animate: temporal-guidance overlap frames "
+                        "between 77-frame clips")
+    p.add_argument("--clip_len", type=int, default=77)
+    p.add_argument("--use_relighting_lora", action="store_true")
+    p.add_argument("--relight_lora_path", type=str, default=None)
     p.add_argument("--bf16_residual", action="store_true",
                    help="run the DiT residual stream in bf16 (fp32 AdaLN/"
                         "time-embed/softmax islands kept): ~35%% faster "
@@ -241,11 +258,133 @@ def build_fusion(args, wan_pipe, spec):
                           bagel_extractor=extractor)
 
 
+def run_animate(args):
+    """--mode animate: character animation/replacement from the
+    preprocess output dir (reference animate.py:297-648 clip loop;
+    file contract animate.py:362-364 src_pose/src_face/src_ref[+bg/mask])."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ..core.config import ANIMATE_CONFIGS, T5Config
+    from ..core.dtypes import BF16_RESIDUAL_POLICY, DEFAULT_POLICY
+    from ..data.video_io import read_video_frames, save_video
+    from ..models.wan.animate import init_clip_vision, init_wan_animate
+    from ..models.wan.vae_api import init_wan_vae
+    from ..pipelines.animate import WanAnimatePipeline
+    from ..pipelines.encoders import WanTextEncoder
+    from ..utils.profiling import PhaseTimer, trace
+
+    if not args.src_root_path:
+        raise SystemExit("--mode animate needs --src_root_path "
+                         "(the preprocess_animate output dir)")
+    model = args.model if args.model in ANIMATE_CONFIGS else "animate-14B"
+    acfg, vae_cfg, clip_cfg = ANIMATE_CONFIGS[model]()
+
+    def vid(name):
+        path = os.path.join(args.src_root_path, name)
+        frames = np.stack(read_video_frames(path))
+        return frames.astype(np.float32) / 127.5 - 1.0
+
+    cond = vid("src_pose.mp4")
+    face = vid("src_face.mp4")
+    ref = np.asarray(Image.open(os.path.join(
+        args.src_root_path, "src_ref.png")).convert("RGB"),
+        np.float32) / 127.5 - 1.0
+    bg = mask = None
+    if args.replace_flag:
+        bg = vid("src_bg.mp4")
+        mask = (vid("src_mask.mp4").mean(axis=-1) > 0.0).astype(np.float32)
+
+    # normalize input geometry like the reference loaders: the reference
+    # pads/resizes the ref image to the pose size (animate.py:281) and
+    # the face stream to the motion-encoder size (512 there)
+    if ref.shape[:2] != cond.shape[1:3]:
+        ref = np.asarray(jax.image.resize(
+            jnp.asarray(ref), cond.shape[1:3] + (3,), method="bilinear"))
+    s = acfg.motion_size
+    if face.shape[1] != s or face.shape[2] != s:
+        face = np.asarray(jax.image.resize(
+            jnp.asarray(face), (face.shape[0], s, s, 3),
+            method="bilinear"))
+
+    t5_cfg = T5Config(text_len=acfg.text_len) if not args.mock_weights \
+        else T5Config(vocab_size=512, dim=acfg.text_dim,
+                      dim_attn=acfg.text_dim, dim_ffn=2 * acfg.text_dim,
+                      num_heads=4, num_layers=2, text_len=acfg.text_len)
+    assert t5_cfg.dim == acfg.text_dim, (t5_cfg.dim, acfg.text_dim)
+    t5_spec = types.SimpleNamespace(t5=t5_cfg)
+
+    relight = args.relight_lora_path if args.use_relighting_lora else None
+    if args.checkpoint_dir:
+        from ..core.checkpoint import load_wan_animate_checkpoint
+        params, vae_params, clip_params = load_wan_animate_checkpoint(
+            args.checkpoint_dir, acfg, vae_cfg, clip_cfg)
+        if clip_params is None:
+            raise SystemExit("no CLIP checkpoint in --checkpoint_dir "
+                             "(models_clip_open-clip-xlm-roberta-large-"
+                             "vit-huge-14.pth)")
+        text_enc = WanTextEncoder.from_checkpoint(args.checkpoint_dir,
+                                                  t5_spec)
+    elif args.mock_weights:
+        params = init_wan_animate(jax.random.PRNGKey(0), acfg)
+        vae_params = init_wan_vae(jax.random.PRNGKey(1), vae_cfg)
+        clip_params = init_clip_vision(jax.random.PRNGKey(2), clip_cfg)
+        text_enc = WanTextEncoder.random_init(t5_spec)
+    else:
+        raise SystemExit("pass --checkpoint_dir or --mock_weights")
+
+    policy = BF16_RESIDUAL_POLICY if args.bf16_residual else DEFAULT_POLICY
+    pipe = WanAnimatePipeline(acfg, params, vae_cfg, vae_params,
+                              clip_cfg=clip_cfg, clip_params=clip_params,
+                              policy=policy, relight_lora=relight)
+
+    from ..core.config import DEFAULT_NEG_PROMPT
+    prompt = args.prompt or DEFAULT_PROMPT
+    timer = PhaseTimer()
+    ctx_pair = timer.time_phase("text_encode", text_enc,
+                                [prompt, DEFAULT_NEG_PROMPT])
+
+    t0 = time.time()
+    with trace("generate"):
+        video = timer.time_phase(
+            "generate", pipe.generate, ctx_pair[0], ctx_pair[1],
+            cond_video=cond, face_video=face, ref_image=ref,
+            bg_video=bg, mask_video=mask, clip_len=args.clip_len,
+            refert_num=args.refert_num, shift=args.shift,
+            sample_solver=args.solver, sampling_steps=args.steps,
+            guide_scale=args.guidance, seed=args.seed)
+    dt = time.time() - t0
+
+    stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    out = os.path.join(args.output_dir, f"animate_{stamp}.mp4")
+    path = save_video(np.asarray(video), out, fps=30)
+    meta = {
+        "prompt": prompt, "mode": "animate", "model": model,
+        "frames": int(video.shape[0]),
+        "size": [int(video.shape[2]), int(video.shape[1])],
+        "steps": args.steps, "guidance": args.guidance,
+        "seed": args.seed, "replace": bool(args.replace_flag),
+        "refert_num": args.refert_num, "clip_len": args.clip_len,
+        "generation_time_s": round(dt, 2),
+        "phase_times_s": timer.summary(), "video_path": path,
+    }
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f, indent=2)
+    print(json.dumps(meta))
+    return [meta]
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     from ..core.debug import apply_debug_flags
     apply_debug_flags()
     os.makedirs(args.output_dir, exist_ok=True)
+
+    if args.mode == "animate":
+        return run_animate(args)
 
     import jax
     import jax.numpy as jnp

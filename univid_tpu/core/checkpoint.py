@@ -324,6 +324,95 @@ def _vae_attn_from(sd, prefix, dtype):
     }
 
 
+def convert_clip_vit(sd: Dict[str, np.ndarray], cfg,
+                     dtype=jnp.float32, prefix: str = "visual."):
+    """XLM-Roberta-CLIP visual tower state dict (reference animate
+    clip.py:209-300 VisionTransformer naming, usually under a 'visual.'
+    prefix inside the full CLIPModel checkpoint) -> params for
+    models/wan/animate/clip_vit.py.
+
+    Only the visual tower is converted: the textual XLM-R side is a
+    documented dead code path (PARITY.md rescopes), and post_norm/head
+    are unused by the animate use_31_block extraction
+    (clip.py:293-297)."""
+    g = lambda k: sd[prefix + k]  # noqa: E731
+
+    # Conv2d patch embed [D, 3, p, p] -> linear over (p*p*3) patches in
+    # the (h_patch, w_patch, channel) flatten order of clip_visual_forward
+    w = np.asarray(g("patch_embedding.weight"))
+    d = w.shape[0]
+    w = np.transpose(w, (2, 3, 1, 0)).reshape(-1, d)
+    patch = {"w": jnp.asarray(w, dtype)}
+    if prefix + "patch_embedding.bias" in sd:
+        patch["b"] = jnp.asarray(g("patch_embedding.bias"), dtype)
+
+    def norm(k):
+        return {"w": jnp.asarray(g(f"{k}.weight"), dtype),
+                "b": jnp.asarray(g(f"{k}.bias"), dtype)}
+
+    def layer(i):
+        p = f"transformer.{i}"
+        qkv_w = np.asarray(g(f"{p}.attn.to_qkv.weight"))  # [3D, D]
+        qkv_b = np.asarray(g(f"{p}.attn.to_qkv.bias"))
+        qw, kw, vw = np.split(qkv_w, 3, axis=0)
+        qb, kb, vb = np.split(qkv_b, 3, axis=0)
+        return {
+            "ln1": norm(f"{p}.norm1"),
+            "attn": {
+                "q": {"w": jnp.asarray(qw.T, dtype),
+                      "b": jnp.asarray(qb, dtype)},
+                "k": {"w": jnp.asarray(kw.T, dtype),
+                      "b": jnp.asarray(kb, dtype)},
+                "v": {"w": jnp.asarray(vw.T, dtype),
+                      "b": jnp.asarray(vb, dtype)},
+                "o": _lin(sd, f"{prefix}{p}.attn.proj", dtype),
+            },
+            "ln2": norm(f"{p}.norm2"),
+            "mlp": {"fc0": _lin(sd, f"{prefix}{p}.mlp.0", dtype),
+                    "fc1": _lin(sd, f"{prefix}{p}.mlp.2", dtype)},
+        }
+
+    return {
+        "patch_embed": patch,
+        "cls": jnp.asarray(np.asarray(g("cls_embedding")).reshape(1, d),
+                           dtype),
+        "pos_embed": jnp.asarray(
+            np.asarray(g("pos_embedding")).reshape(-1, d), dtype),
+        "pre_norm": norm("pre_norm"),
+        "layers": _stack([layer(i) for i in range(cfg.num_layers)]),
+    }
+
+
+def load_wan_animate_checkpoint(checkpoint_dir: str, animate_cfg,
+                                vae_cfg: WanVAEConfig, clip_cfg=None,
+                                dtype=jnp.bfloat16):
+    """(animate_params, vae_params, clip_params|None) from a reference
+    WanAnimate checkpoint dir (animate.py:85-131: transformer shards +
+    Wan2.1 VAE + models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth)."""
+    animate_params = convert_wan_animate(load_state_dict(checkpoint_dir),
+                                         animate_cfg, dtype)
+    vae_path = None
+    for cand in ("Wan2.1_VAE.pth", "Wan2.2_VAE.pth", "vae.pth"):
+        p = os.path.join(checkpoint_dir, cand)
+        if os.path.exists(p):
+            vae_path = p
+            break
+    if vae_path is None:
+        raise FileNotFoundError(f"no VAE checkpoint in {checkpoint_dir}")
+    vae_params = convert_wan_vae(load_state_dict(vae_path), vae_cfg)
+    clip_params = None
+    if clip_cfg is not None:
+        for cand in (
+                "models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth",
+                "clip.pth"):
+            p = os.path.join(checkpoint_dir, cand)
+            if os.path.exists(p):
+                clip_params = convert_clip_vit(load_state_dict(p),
+                                               clip_cfg, dtype)
+                break
+    return animate_params, vae_params, clip_params
+
+
 def convert_wan_vae(sd: Dict[str, np.ndarray], cfg: WanVAEConfig,
                     dtype=jnp.float32):
     """WanVAE_ state dict (vae2_2.py naming) -> params."""

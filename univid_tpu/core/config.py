@@ -279,13 +279,40 @@ def _tiny_moe(i2v: bool = False) -> WanModelSpec:
 def animate_14b():
     """WanAnimate-14B (reference animate.py:36 + model_animate.py:250-268;
     the wan_animate_14B config file is absent in-tree, SURVEY.md §0.1 —
-    sizes from the model defaults). Returns (animate_cfg, vae_cfg)."""
-    from ..models.wan.animate import WanAnimateConfig
+    sizes from the model defaults). Returns (animate_cfg, vae_cfg,
+    clip_cfg): the ViT-H/14 visual tower defaults in ClipVisionConfig
+    ARE the open-clip-xlm-roberta-large-vit-huge-14 shape."""
+    from ..models.wan.animate import ClipVisionConfig, WanAnimateConfig
     vae = WanVAEConfig(
         dim=96, dec_dim=96, z_dim=16,
         temporal_downsample=(True, True, False), spatial_patch=1,
         vae_stride=(4, 8, 8))
-    return WanAnimateConfig(), vae
+    return WanAnimateConfig(), vae, ClipVisionConfig()
+
+
+def animate_tiny():
+    """Hermetic smoke shape for the animate CLI path (mirrors the
+    tests/test_animate.py tiny family)."""
+    from ..models.wan.animate import ClipVisionConfig, WanAnimateConfig
+    acfg = WanAnimateConfig(
+        patch_size=(1, 2, 2), text_len=12, in_dim=12, dim=32, ffn_dim=64,
+        freq_dim=16, text_dim=24, out_dim=4, num_heads=4, num_layers=5,
+        motion_encoder_dim=16, clip_tokens=5, clip_dim=16, motion_size=16,
+        motion_dim=4, vae_z_dim=4, face_width=8,
+        motion_channels=((4, 16), (8, 16), (16, 8)))
+    vae = WanVAEConfig(
+        dim=8, dec_dim=8, z_dim=4, dim_mult=(1, 2, 2, 2),
+        num_res_blocks=1, temporal_downsample=(False, True, True),
+        spatial_patch=2)
+    clip = ClipVisionConfig(image_size=28, patch_size=14, dim=16,
+                            num_heads=2, num_layers=2)
+    return acfg, vae, clip
+
+
+ANIMATE_CONFIGS = {
+    "animate-14B": animate_14b,
+    "tiny-animate": animate_tiny,
+}
 
 
 WAN_CONFIGS = {

@@ -68,9 +68,19 @@ def main():
     remat = os.environ.get("BENCH_REMAT", "attn")
     remat_blocks = {"block": True, "attn": "attn",
                     "none": False}[remat]
+    # bf16 residual stream by default: the remat boundary saves the
+    # residual per block, and fp32 residuals (5.6 GB at 30L x 33k x
+    # 1536) push the step past one 16 GB chip; bf16-residual training
+    # is standard bf16-transformer practice. BENCH_TRAIN_FP32_RESIDUAL=1
+    # restores fp32 (needs remat=block or a bigger chip).
+    from univid_tpu.core.dtypes import BF16_RESIDUAL_POLICY, DEFAULT_POLICY
+    policy = DEFAULT_POLICY \
+        if os.environ.get("BENCH_TRAIN_FP32_RESIDUAL", "0") != "0" \
+        else BF16_RESIDUAL_POLICY
     step, _ = make_diffusion_train_step(
         spec, fusion_cfg, train_cfg, tx, dit_params, None, (f, lh, lw),
-        lora_template=lora_template, remat_blocks=remat_blocks)
+        lora_template=lora_template, remat_blocks=remat_blocks,
+        policy=policy)
 
     c = spec.vae.z_dim
     batch = {
@@ -126,6 +136,7 @@ def main():
         "resolution": f"{w}x{h}x{frames}f",
         "model": model,
         "remat": remat,
+        "residual": "fp32" if policy is DEFAULT_POLICY else "bf16",
         **({"est_mfu": est_mfu} if est_mfu is not None else {}),
         "latent_grid": [f, lh, lw],
         "device": str(jax.devices()[0]),

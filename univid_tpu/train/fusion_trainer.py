@@ -141,7 +141,8 @@ def make_diffusion_train_step(spec: WanModelSpec, fusion_cfg: FusionConfig,
                               train_cfg: FusionTrainConfig, tx,
                               base_dit_params, vae_params,
                               latent_grid, lora_template=None,
-                              remat_blocks: bool = False):
+                              remat_blocks: bool = False,
+                              policy=None):
     """LoRA + projector diffusion step (model_pipeline.py:2765-3142 role):
     video [B, T, H, W, 3] -> VAE latents -> flow noise at t -> DiT with
     LoRA-merged frozen base + projected BAGEL context -> velocity MSE.
@@ -176,9 +177,16 @@ def make_diffusion_train_step(spec: WanModelSpec, fusion_cfg: FusionConfig,
         t = batch["t"]
         sigma = t.astype(jnp.float32) / train_cfg.num_train_timesteps
         x_t = add_flow_noise(x0, noise, sigma[:, None, None, None, None])
+        # policy note: the per-block remat boundary stores the residual
+        # stream in policy.residual_dtype for every layer — fp32 costs
+        # 5.6 GB at 30 layers x 33k tokens x 1536; the bf16-residual
+        # policy (standard practice for bf16 transformer training)
+        # halves it and is what lets the full-resolution step fit one
+        # 16 GB chip (tools/bench_train.py)
+        kw = {"policy": policy} if policy is not None else {}
         v_pred = wan_dit_forward(params, cfg, x_t, t, ctx, rope_cos,
                                  rope_sin, seq_pad_to=seq_pad,
-                                 remat_blocks=remat_blocks)
+                                 remat_blocks=remat_blocks, **kw)
         target = (noise - x0).astype(jnp.float32)
         return jnp.mean(jnp.square(v_pred - target))
 

@@ -25,6 +25,10 @@ property of the program and value distribution, not of trained values;
 trained-checkpoint validation additionally needs real weights and is
 noted as such where these numbers are published.
 
+Run on CPU (JAX_PLATFORMS=cpu): the budget measures NUMERICS, not
+speed, and the fp32 XLA attention reference is minutes-long on device —
+past the remote-execute watchdog of tunneled dev chips.
+
 Prints ONE JSON line. Env: TB_W/TB_H/TB_FRAMES (832x480x21 — see the
 frames note in main()), TB_BATCH (1), TB_MODEL (t2v-1.3B),
 TB_T5_LAYERS (8).

@@ -45,6 +45,11 @@ def main():
                                 num_heads=16, max_len=64, proj_dim=1152)
     entries["siglip2_so400m"] = M.siglip2_manifest(so400m_v, so400m_t)
 
+    # SAM2 Hiera-L video model (animate preprocess segmentation,
+    # sam_utils.py:122-155)
+    from univid_tpu.models.sam2 import Sam2Config
+    entries["sam2_hiera_large"] = M.sam2_manifest(Sam2Config())
+
     for name, man in entries.items():
         path = os.path.join(out_dir, f"{name}.json")
         M.save_manifest(path, man)

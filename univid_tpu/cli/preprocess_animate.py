@@ -7,8 +7,9 @@ Detector wiring: --ckpt_path constructs the in-repo ONNX pose driver
 (data/pose2d.py over the numpy ONNX executor in data/onnx_rt.py) from
 the published checkpoint layout `ckpt_path/pose2d/
 vitpose_h_wholebody.onnx` + `ckpt_path/det/yolov10m.onnx`
-(preprocess_data.py:99-105). SAM2 masks stay an injection seam —
-without a mask_fn, replacement mode falls back to pose-hull masks.
+(preprocess_data.py:99-105); if `ckpt_path/sam2/sam2_hiera_large.pt`
+exists, the in-repo JAX SAM2 video segmenter (models/sam2) becomes the
+mask_fn — otherwise replacement mode falls back to pose-hull masks.
 Custom detectors can still be passed programmatically via
 `main(argv, pose_fn=..., mask_fn=...)`; --mock_detectors swaps in
 deterministic synthetic detectors so the full deterministic chain
@@ -117,6 +118,13 @@ def main(argv=None, pose_fn=None, mask_fn=None, edit_fn=None):
                              "vitpose_h_wholebody.onnx)")
         pose_fn = Pose2dDriver(
             pose_ckpt, det_ckpt if os.path.exists(det_ckpt) else None)
+        sam_ckpt = os.path.join(args.ckpt_path, "sam2",
+                                "sam2_hiera_large.pt")
+        if mask_fn is None and os.path.exists(sam_ckpt):
+            from ..core.checkpoint import load_sam2_checkpoint
+            from ..models.sam2 import build_sam2_mask_fn
+            sam_params, sam_cfg = load_sam2_checkpoint(sam_ckpt)
+            mask_fn = build_sam2_mask_fn(sam_params, sam_cfg)
     elif pose_fn is None:
         raise SystemExit(
             "no detectors: pass --ckpt_path <dir> with the published "

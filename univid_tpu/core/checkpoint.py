@@ -64,6 +64,9 @@ def _load_torch(path: str) -> Dict[str, np.ndarray]:
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
+    # published SAM2 .pt checkpoints wrap the weights under "model"
+    if isinstance(sd, dict) and isinstance(sd.get("model"), dict):
+        sd = sd["model"]
     return {k: v.float().numpy() if v.dtype == torch.bfloat16
             else v.numpy() for k, v in sd.items()}
 
@@ -870,3 +873,180 @@ def convert_siglip(sd, cfg, dtype=jnp.bfloat16,
         })
     params["layers"] = _stack(layers)
     return params
+
+
+# ---------------------------------------------------------------------------
+# SAM2 video segmenter
+# ---------------------------------------------------------------------------
+
+
+def convert_sam2(sd: Dict[str, np.ndarray], cfg, dtype=jnp.float32):
+    """Published SAM2 checkpoint (facebookresearch/sam2
+    sam2_hiera_large.pt, the model the reference preprocess builds in
+    sam_utils.py:122-155) -> models/sam2 param tree. `cfg` is a
+    Sam2Config. The prompt encoder's mask-input path
+    (sam_prompt_encoder.mask_downscaling.*) is intentionally not
+    ingested: the reference workflow prompts with points only
+    (process_pipepline.py:318-341); pass it via `ignore` in audited()."""
+
+    def ln(key):
+        return {"w": jnp.asarray(sd[f"{key}.weight"], dtype),
+                "b": jnp.asarray(sd[f"{key}.bias"], dtype)}
+
+    def attn4(key):
+        return {"q": _lin(sd, f"{key}.q_proj", dtype),
+                "k": _lin(sd, f"{key}.k_proj", dtype),
+                "v": _lin(sd, f"{key}.v_proj", dtype),
+                "o": _lin(sd, f"{key}.out_proj", dtype)}
+
+    def mlp(key, n):
+        return {"layers": [_lin(sd, f"{key}.layers.{i}", dtype)
+                           for i in range(n)]}
+
+    def deconv(key):
+        # torch ConvTranspose2d [in, out, k, k] -> HWIO [k, k, in, out]
+        w = sd[f"{key}.weight"]
+        return {"w": jnp.asarray(np.transpose(w, (2, 3, 0, 1)), dtype),
+                "b": jnp.asarray(sd[f"{key}.bias"], dtype)}
+
+    def chw_embed(key):
+        # [1, C, h, w] background/window pos embeds -> [h, w, C]
+        return jnp.asarray(np.transpose(sd[key], (0, 2, 3, 1))[0], dtype)
+
+    t = "image_encoder.trunk"
+    trunk = {
+        "patch_embed": _conv(sd, f"{t}.patch_embed.proj", dtype),
+        "pos_embed": chw_embed(f"{t}.pos_embed"),
+        "pos_embed_window": chw_embed(f"{t}.pos_embed_window"),
+        "blocks": [],
+    }
+    for i, spec in enumerate(cfg.hiera.block_layout()):
+        b = f"{t}.blocks.{i}"
+        blk = {"norm1": ln(f"{b}.norm1"),
+               "qkv": _lin(sd, f"{b}.attn.qkv", dtype),
+               "attn_proj": _lin(sd, f"{b}.attn.proj", dtype),
+               "norm2": ln(f"{b}.norm2"),
+               "mlp0": _lin(sd, f"{b}.mlp.layers.0", dtype),
+               "mlp1": _lin(sd, f"{b}.mlp.layers.1", dtype)}
+        if spec["dim"] != spec["dim_out"]:
+            blk["proj"] = _lin(sd, f"{b}.proj", dtype)
+        trunk["blocks"].append(blk)
+    neck = {"convs": [_conv(sd, f"image_encoder.neck.convs.{i}.conv",
+                            dtype)
+                      for i in range(len(cfg.hiera.channel_list))]}
+
+    pe = "sam_prompt_encoder"
+    prompt = {
+        "pe_gaussian": jnp.asarray(
+            sd[f"{pe}.pe_layer.positional_encoding_gaussian_matrix"],
+            dtype),
+        "point_embeddings": jnp.asarray(np.concatenate(
+            [sd[f"{pe}.point_embeddings.{i}.weight"] for i in range(4)],
+            axis=0), dtype),
+        "not_a_point": jnp.asarray(sd[f"{pe}.not_a_point_embed.weight"][0],
+                                   dtype),
+        "no_mask": jnp.asarray(sd[f"{pe}.no_mask_embed.weight"][0], dtype),
+    }
+
+    md = "sam_mask_decoder"
+    tw_layers = []
+    for i in range(cfg.head.transformer_depth):
+        b = f"{md}.transformer.layers.{i}"
+        tw_layers.append({
+            "self_attn": attn4(f"{b}.self_attn"),
+            "norm1": ln(f"{b}.norm1"),
+            "cross_t2i": attn4(f"{b}.cross_attn_token_to_image"),
+            "norm2": ln(f"{b}.norm2"),
+            "mlp0": _lin(sd, f"{b}.mlp.layers.0", dtype),
+            "mlp1": _lin(sd, f"{b}.mlp.layers.1", dtype),
+            "norm3": ln(f"{b}.norm3"),
+            "cross_i2t": attn4(f"{b}.cross_attn_image_to_token"),
+            "norm4": ln(f"{b}.norm4"),
+        })
+    decoder = {
+        "transformer": {
+            "layers": tw_layers,
+            "final_attn": attn4(
+                f"{md}.transformer.final_attn_token_to_image"),
+            "norm_final": ln(f"{md}.transformer.norm_final_attn")},
+        "iou_token": jnp.asarray(sd[f"{md}.iou_token.weight"][0], dtype),
+        "mask_tokens": jnp.asarray(sd[f"{md}.mask_tokens.weight"], dtype),
+        "obj_score_token": jnp.asarray(
+            sd[f"{md}.obj_score_token.weight"][0], dtype),
+        "upscale0": deconv(f"{md}.output_upscaling.0"),
+        "upscale_ln": ln(f"{md}.output_upscaling.1"),
+        "upscale1": deconv(f"{md}.output_upscaling.3"),
+        "hyper_mlps": [mlp(f"{md}.output_hypernetworks_mlps.{i}", 3)
+                       for i in range(cfg.head.num_mask_tokens)],
+        "iou_head": mlp(f"{md}.iou_prediction_head",
+                        cfg.head.iou_head_depth),
+        "pred_obj_score_head": mlp(f"{md}.pred_obj_score_head", 3),
+        "conv_s0": _conv(sd, f"{md}.conv_s0", dtype),
+        "conv_s1": _conv(sd, f"{md}.conv_s1", dtype),
+    }
+
+    me = "memory_encoder"
+    nl = cfg.memory.mask_downsample_layers
+    mem_enc = {
+        "mask_down": [
+            {"conv": _conv(sd, f"{me}.mask_downsampler.encoder.{3 * i}",
+                           dtype),
+             "ln": ln(f"{me}.mask_downsampler.encoder.{3 * i + 1}")}
+            for i in range(nl)],
+        "mask_down_final": _conv(
+            sd, f"{me}.mask_downsampler.encoder.{3 * nl}", dtype),
+        "pix_feat_proj": _conv(sd, f"{me}.pix_feat_proj", dtype),
+        "fuser": [
+            {"dwconv": _conv(sd, f"{me}.fuser.layers.{i}.dwconv", dtype),
+             "norm": ln(f"{me}.fuser.layers.{i}.norm"),
+             "pwconv1": _lin(sd, f"{me}.fuser.layers.{i}.pwconv1", dtype),
+             "pwconv2": _lin(sd, f"{me}.fuser.layers.{i}.pwconv2", dtype),
+             "gamma": jnp.asarray(sd[f"{me}.fuser.layers.{i}.gamma"],
+                                  dtype)}
+            for i in range(cfg.memory.fuser_layers)],
+        "out_proj": _conv(sd, f"{me}.out_proj", dtype),
+    }
+
+    ma = "memory_attention"
+    ma_layers = []
+    for i in range(cfg.memory.num_layers):
+        b = f"{ma}.layers.{i}"
+        ma_layers.append({
+            "self_attn": attn4(f"{b}.self_attn"),
+            "cross_attn": attn4(f"{b}.cross_attn_image"),
+            "linear1": _lin(sd, f"{b}.linear1", dtype),
+            "linear2": _lin(sd, f"{b}.linear2", dtype),
+            "norm1": ln(f"{b}.norm1"),
+            "norm2": ln(f"{b}.norm2"),
+            "norm3": ln(f"{b}.norm3"),
+        })
+
+    return {
+        "trunk": trunk, "neck": neck, "prompt": prompt,
+        "decoder": decoder, "mem_enc": mem_enc,
+        "mem_attn": {"layers": ma_layers, "norm": ln(f"{ma}.norm")},
+        "no_mem_embed": jnp.asarray(sd["no_mem_embed"], dtype),
+        "no_mem_pos_enc": jnp.asarray(sd["no_mem_pos_enc"], dtype),
+        "maskmem_tpos_enc": jnp.asarray(
+            np.reshape(sd["maskmem_tpos_enc"],
+                       (cfg.num_maskmem, 1, -1)), dtype),
+        "obj_ptr_proj": mlp("obj_ptr_proj", 3),
+        "no_obj_ptr": jnp.asarray(sd["no_obj_ptr"][0], dtype),
+    }
+
+
+def load_sam2_checkpoint(path: str, cfg=None, dtype=jnp.float32,
+                         strict: bool = True):
+    """(params, cfg) from a published SAM2 .pt (the reference's
+    `--ckpt_path <dir>/sam2/sam2_hiera_large.pt`,
+    preprocess_data.py:99-105). The .pt wraps weights under a 'model'
+    key; the unused mask-input branch is audited as ignored."""
+    from ..models.sam2 import Sam2Config   # deferred: core <-> models
+    from .manifest import audited
+    if cfg is None:
+        cfg = Sam2Config()
+    sd = load_state_dict(path)
+    params, _ = audited(
+        sd, lambda s: convert_sam2(s, cfg, dtype),
+        ignore=("sam_prompt_encoder.mask_downscaling.",), strict=strict)
+    return params, cfg

@@ -145,6 +145,27 @@ def test_ring_staleness(params, frames):
     assert not np.allclose(np.asarray(fresh), np.asarray(stale))
 
 
+def test_bf16_compute_path(params, frames):
+    """compute_dtype=bf16 (the TPU serving mode: bf16 matmuls, fp32
+    softmax/norm islands) stays finite and close to the f32 masks."""
+    import dataclasses
+    cfg16 = dataclasses.replace(CFG, compute_dtype=jnp.bfloat16)
+    pred32 = Sam2VideoPredictor(params, CFG)
+    pred16 = Sam2VideoPredictor(params, cfg16)
+
+    def run(pred):
+        state = pred.init_state_v2(list(frames))
+        _add_points(pred, state)
+        return np.stack([m[0, 0] for _, _, m in
+                         pred.propagate_in_video(state)])
+
+    m32, m16 = run(pred32), run(pred16)
+    assert np.isfinite(m16).all()
+    # same sign pattern on the overwhelming majority of pixels
+    agree = np.mean((m32 > 0) == (m16 > 0))
+    assert agree > 0.98, f"bf16/f32 mask agreement {agree:.3f}"
+
+
 def test_fill_small_holes():
     logits = np.full((16, 16), 2.0, np.float32)
     logits[4:6, 4:6] = -1.0          # 4-px hole -> filled

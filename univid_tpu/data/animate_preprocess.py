@@ -663,13 +663,17 @@ class AnimatePreprocessPipeline:
         if replace:
             if self.mask_fn is None:
                 # deterministic fallback for the SAM2 segmentation role
-                # (video_predictor.py:14): pose-hull person masks; a
-                # neural detector via mask_fn is still recommended for
-                # production-quality mattes
+                # (video_predictor.py:14): pose-hull person masks. For
+                # production-quality mattes use the in-repo SAM2 video
+                # segmenter (models/sam2.build_sam2_mask_fn, wired by
+                # the CLI when ckpt_path/sam2/sam2_hiera_large.pt
+                # exists).
                 import warnings
                 warnings.warn("no mask_fn injected: using the "
                               "deterministic pose-hull mask fallback "
-                              "for the SAM2 segmentation stage")
+                              "for the SAM2 segmentation stage (supply "
+                              "sam2/sam2_hiera_large.pt under "
+                              "--ckpt_path for neural masks)")
                 masks = pose_hull_mask_fn(frames, metas)
             else:
                 masks = self.mask_fn(frames, metas)

@@ -66,6 +66,9 @@ class Sam2Config:
     fill_hole_area: int = 8              # sam_utils.py:144
     img_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     img_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+    # matmul/conv compute dtype (fp32 softmax/norm islands regardless);
+    # bf16 roughly doubles Hiera encode throughput on the MXU
+    compute_dtype: jnp.dtype = jnp.float32
 
     @property
     def grid(self) -> int:
@@ -139,7 +142,8 @@ def init_sam2(key, cfg: Sam2Config, param_dtype=jnp.float32):
 def _encode_frame(params, cfg: Sam2Config, img):
     """img [1, S, S, 3] normalized -> (s0, s1, s16) neck features,
     high-res first (strides 4 / 8 / 16, all d_model channels)."""
-    feats = hiera_forward(params["trunk"], cfg.hiera, img)
+    feats = hiera_forward(params["trunk"], cfg.hiera, img,
+                          compute_dtype=cfg.compute_dtype)
     (s0, s1, s16), _ = neck_forward(params["neck"], cfg.neck, feats)
     return s0, s1, s16
 
@@ -157,7 +161,7 @@ def _sam_heads(params, cfg: Sam2Config, pix_feat, high_res, points,
     image_pe = dense_pe(params["prompt"]["pe_gaussian"], g)
     masks, iou, toks, obj_score = mask_decoder_forward(
         params["decoder"], cfg.head, pix_feat, image_pe, sparse, dense,
-        high_res_feats=high_res)
+        high_res_feats=high_res, compute_dtype=cfg.compute_dtype)
     mask, tok, _ = select_masks(cfg.head, masks, iou, toks, multimask)
     is_obj = obj_score[:, 0] > 0
     mask = jnp.where(is_obj[:, None, None], mask, NO_OBJ_SCORE)
@@ -251,7 +255,8 @@ def _propagate_step(params, cfg: Sam2Config, img, t, bank):
     curr_pos = sine_pos_encoding(g, g, d).reshape(1, n, d)
     cond_feat = memory_attention_forward(
         params["mem_attn"], cfg.memory, curr, curr_pos, memory,
-        memory_pos, num_obj_ptr_tokens=num_ptr_tokens, key_mask=key_mask)
+        memory_pos, num_obj_ptr_tokens=num_ptr_tokens, key_mask=key_mask,
+        compute_dtype=cfg.compute_dtype)
     pix = cond_feat.reshape(1, g, g, d)
 
     points = jnp.zeros((1, 1, 2), jnp.float32)

@@ -28,6 +28,7 @@ PEAK = {"tpu": 197e12, "cpu": 1e12}
 
 GEOMS = {
     "1.3B": dict(b=2, l=32760, n=12, d=128),
+    "1.3B_train": dict(b=1, l=32760, n=12, d=128),
     "5B": dict(b=2, l=8190, n=24, d=128),
     "5B_ref": dict(b=2, l=27280, n=24, d=128),
 }
@@ -74,12 +75,58 @@ def sweep(name, b, l, n, d, iters):
                   f"MFU {tf / (peak / 1e12) * 100:5.1f}%")
 
 
+BWD_BLOCKS = [(512, 512), (512, 1024), (1024, 512), (1024, 1024),
+              (2048, 512), (512, 2048), (1024, 2048), (2048, 1024)]
+
+
+def sweep_bwd(name, b, l, n, d, iters):
+    """Backward-kernel sweep: times grad-of-sum through the custom_vjp.
+
+    Reports (a) fwd+bwd wall per step and (b) the bwd-only residue after
+    subtracting the residual-saving forward, with MFU against the
+    two-pass backward's executed FLOPs (7 block-matmuls = 3.5x fwd)."""
+    key = jax.random.PRNGKey(0)
+    q, k, v = (jax.random.normal(kk, (b, l, n, d), jnp.bfloat16)
+               for kk in jax.random.split(key, 3))
+    fwd_flops = 4 * b * n * l * l * d
+    bwd_flops = 3.5 * fwd_flops  # dq pass 3 matmuls + dkv pass 4
+    peak = PEAK.get(jax.default_backend(), 197e12)
+    print(f"== bwd {name}: B{b} L{l} H{n} D{d} "
+          f"({bwd_flops/1e12:.1f} TFLOP executed/bwd) ==")
+
+    # residual-saving forward alone (same program the vjp fwd runs)
+    from univid_tpu.kernels.flash_attention import flash_attention_padded
+    fwd_fn = jax.jit(functools.partial(
+        flash_attention_padded, block_q=1024, block_k=1024,
+        save_residuals=True))
+    t_fwd = bench(lambda a, b_, c: fwd_fn(a, b_, c), q, k, v, iters=iters)
+
+    for bq, bk in BWD_BLOCKS:
+        fn = jax.jit(jax.grad(lambda a, b_, c: attention(
+            a, b_, c, bwd_block_q=bq, bwd_block_k=bk).astype(
+                jnp.float32).sum(), argnums=(0, 1, 2)))
+        try:
+            dt = bench(fn, q, k, v, iters=iters)
+        except Exception as e:  # noqa: BLE001
+            print(f"bwd bq={bq:4d} bk={bk:4d}: FAIL {str(e)[:70]}")
+            continue
+        bwd_dt = dt - t_fwd
+        tf = bwd_flops / bwd_dt / 1e12
+        print(f"bwd bq={bq:4d} bk={bk:4d}: step {dt*1e3:8.2f} ms  "
+              f"bwd-only {bwd_dt*1e3:8.2f} ms  {tf:6.1f} TF/s  "
+              f"MFU {tf / (peak / 1e12) * 100:5.1f}%")
+
+
 def main():
     geom = os.environ.get("ATTN_GEOM", "1.3B")
     iters = int(os.environ.get("ATTN_ITERS", "5"))
+    mode = os.environ.get("ATTN_MODE", "fwd")
     names = list(GEOMS) if geom == "all" else [geom]
     for nm in names:
-        sweep(nm, iters=iters, **GEOMS[nm])
+        if mode == "bwd":
+            sweep_bwd(nm, iters=iters, **GEOMS[nm])
+        else:
+            sweep(nm, iters=iters, **GEOMS[nm])
 
 
 if __name__ == "__main__":

@@ -86,11 +86,29 @@ def bench_caption(n_frames: int, max_tokens: int):
     scfg = SiglipConfig(hidden_size=1152, intermediate_size=4304,
                         num_layers=27, num_heads=16, patch_size=14,
                         image_size=224)
-    params = init_bagel(jax.random.PRNGKey(0), cfg,
-                        param_dtype=jnp.bfloat16)
     if os.environ.get("QA_INT8", "0") != "0":
+        # the full bf16 7B tree (~13.4 GB) OOMs a 16 GB v5e before
+        # quantize_tree can shrink it — init+quantize ONE layer per
+        # jitted call (the bf16 intermediate lives only inside the jit),
+        # stack the int8 layers on host, then device_put the final tree
+        import dataclasses
         from univid_tpu.core.quant import quantize_tree
-        params = dict(params, llm=quantize_tree(params["llm"]))
+        cfg1 = dataclasses.replace(cfg, llm=dataclasses.replace(
+            llm, num_layers=1))
+        one = jax.jit(lambda k: quantize_tree(init_bagel(
+            k, cfg1, param_dtype=jnp.bfloat16)))
+        host_layers = [jax.device_get(one(jax.random.PRNGKey(i))["llm"]
+                                      ["layers"])
+                       for i in range(llm.num_layers)]
+        stacked = jax.tree.map(
+            lambda *xs: np.concatenate(xs, axis=0), *host_layers)
+        del host_layers
+        params = jax.device_get(one(jax.random.PRNGKey(0)))
+        params["llm"]["layers"] = stacked
+        params = jax.device_put(params)
+    else:
+        params = init_bagel(jax.random.PRNGKey(0), cfg,
+                            param_dtype=jnp.bfloat16)
     sig = init_siglip(jax.random.PRNGKey(1), scfg,
                       param_dtype=jnp.bfloat16)
     inf = InterleaveInferencer(params, cfg,

@@ -120,10 +120,11 @@ def _zero_cot(x):
     return np.zeros(x.shape, jax.dtypes.float0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15))
 def _flash(q, k, v, kv_len, q_segments, kv_segments, q_offsets,
            causal, q_offset, softmax_scale, block_q, block_k, packed_mode,
-           softmax_bf16):
+           softmax_bf16, bwd_block_q, bwd_block_k):
     """Differentiable Pallas flash attention over PADDED inputs.
 
     Forward = the plain kernel; the VJP rule re-runs the forward with
@@ -141,7 +142,7 @@ def _flash(q, k, v, kv_len, q_segments, kv_segments, q_offsets,
 
 def _flash_fwd(q, k, v, kv_len, q_segments, kv_segments, q_offsets,
                causal, q_offset, softmax_scale, block_q, block_k,
-               packed_mode, softmax_bf16):
+               packed_mode, softmax_bf16, bwd_block_q, bwd_block_k):
     # the residual-saving forward carries an extra f32 lse output; at
     # block_q=2048 the fp32 [bq, bk] score tile + lse double-buffering
     # exceed the 16 MB scoped-VMEM budget (v5e), so cap the training
@@ -159,13 +160,14 @@ def _flash_fwd(q, k, v, kv_len, q_segments, kv_segments, q_offsets,
 
 
 def _flash_bwd(causal, q_offset, softmax_scale, block_q, block_k,
-               packed_mode, softmax_bf16, res, g):
+               packed_mode, softmax_bf16, bwd_block_q, bwd_block_k,
+               res, g):
     q, k, v, o, lse, kv_len, q_segments, kv_segments, q_offsets = res
     dq, dk, dv = flash_attention_bwd_padded(
         q, k, v, o, lse, g, causal=causal, q_offset=q_offset, kv_len=kv_len,
         q_segments=q_segments, kv_segments=kv_segments,
         softmax_scale=softmax_scale, packed_mode=packed_mode,
-        q_offsets=q_offsets)
+        q_offsets=q_offsets, block_q=bwd_block_q, block_k=bwd_block_k)
     return (dq, dk, dv, _zero_cot(kv_len), _zero_cot(q_segments),
             _zero_cot(kv_segments), _zero_cot(q_offsets))
 
@@ -176,7 +178,8 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
               q_segments=None, kv_segments=None, softmax_scale=None,
               block_q=None, block_k=None, packed_mode=False,
-              q_offsets=None, softmax_bf16=False, rope_tables=None):
+              q_offsets=None, softmax_bf16=False, rope_tables=None,
+              bwd_block_q=None, bwd_block_k=None):
     """Multi-head attention over [B, L, N, D] tensors.
 
     Default block sizes auto-tune by sequence length: the v5e sweep
@@ -260,7 +263,15 @@ def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
             softmax_bf16=softmax_bf16, rope_tables=rope_tables)
         return o[:, :lq]
 
+    # backward kernel tiles (only used when this call is differentiated):
+    # independent of the forward's because the bwd kernels hold ~4 fp32
+    # [bq, bk] intermediates (t/p/dp/ds) plus two accumulator scratches —
+    # the v5e sweep (tools/bench_attn.py ATTN_MODE=bwd) picks the tile
+    if bwd_block_q is None:
+        bwd_block_q = 1024 if lq >= 4096 else 256
+    if bwd_block_k is None:
+        bwd_block_k = 1024 if lk >= 4096 else 512
     o = _flash(q, k, v, kv_len, q_segments, kv_segments, q_offsets,
                causal, q_offset, softmax_scale, block_q, block_k,
-               packed_mode, softmax_bf16)
+               packed_mode, softmax_bf16, bwd_block_q, bwd_block_k)
     return o[:, :lq]

@@ -500,17 +500,21 @@ def flash_attention_padded(
 
 def _mask_scores(s, i_q, i_k, b, *, block_q, block_k, causal, q_offset,
                  scalar_ref, has_kv_len, has_q_offsets, qseg_ref, kseg_ref,
-                 packed_mode):
-    """Shared mask predicate — must match `_flash_kernel` exactly."""
+                 packed_mode, mask_kv=True, mask_causal=True):
+    """Shared mask predicate — must match `_flash_kernel` exactly.
+
+    mask_kv/mask_causal let interior blocks (proven fully live by the
+    caller's runtime block predicate) skip the compare+select VPU passes
+    over [bq, bk] — same trick as the forward's _compute(False, False)."""
     col = i_k * block_k + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 1)
-    if causal:
+    if causal and mask_causal:
         row = i_q * block_q + q_offset + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0)
         if has_q_offsets:
             row = row + scalar_ref[1, b]
         s = jnp.where(col <= row, s, NEG_INF)
-    if has_kv_len:
+    if has_kv_len and mask_kv:
         s = jnp.where(col < scalar_ref[0, b], s, NEG_INF)
     if qseg_ref is not None:
         qs = qseg_ref[0]  # [bq, 128]
@@ -568,12 +572,18 @@ def _flash_bwd_dq_kernel(
     def _init():
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
+    # block skip: causal dead blocks and kv blocks fully beyond kv_len
+    # contribute p == 0 -> ds == 0 (same predicate family as the forward)
     run = True
-    if causal and not has_q_offsets:
-        run = i_k * block_k < i_q * block_q + q_offset + block_q
+    if causal:
+        first_masked_col = i_q * block_q + q_offset + block_q
+        if has_q_offsets:
+            first_masked_col = first_masked_col + scalar_ref[1, b]
+        run = i_k * block_k < first_masked_col
+    if has_kv_len:
+        run = run & (i_k * block_k < scalar_ref[0, b])
 
-    @pl.when(run)
-    def _compute():
+    def _compute(mask_kv, mask_causal):
         qs = q_ref[0]   # [bq, d], pre-scaled by scale*log2(e)
         k = k_ref[0]    # [bk, d]
         v = v_ref[0]
@@ -583,11 +593,14 @@ def _flash_bwd_dq_kernel(
         t = jax.lax.dot_general(
             qs, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # [bq, bk]
-        t = _mask_scores(
-            t, i_q, i_k, b, block_q=block_q, block_k=block_k, causal=causal,
-            q_offset=q_offset, scalar_ref=scalar_ref, has_kv_len=has_kv_len,
-            has_q_offsets=has_q_offsets, qseg_ref=qseg_ref,
-            kseg_ref=kseg_ref, packed_mode=packed_mode)
+        if mask_kv or mask_causal or has_segments:
+            t = _mask_scores(
+                t, i_q, i_k, b, block_q=block_q, block_k=block_k,
+                causal=causal, q_offset=q_offset, scalar_ref=scalar_ref,
+                has_kv_len=has_kv_len, has_q_offsets=has_q_offsets,
+                qseg_ref=qseg_ref, kseg_ref=kseg_ref,
+                packed_mode=packed_mode, mask_kv=mask_kv,
+                mask_causal=mask_causal)
         p = jnp.exp2(t - lse_ref[0][:, :1])      # [bq, bk]
 
         dp = jax.lax.dot_general(
@@ -599,6 +612,32 @@ def _flash_bwd_dq_kernel(
         acc_scr[:] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+
+    # interior blocks skip the mask compare+select VPU passes (the
+    # dominant case at the Wan train shape: only the kv_len tail block
+    # carries padding)
+    need = None
+    if causal:
+        row0 = i_q * block_q + q_offset
+        if has_q_offsets:
+            row0 = row0 + scalar_ref[1, b]
+        need = (i_k + 1) * block_k > row0 + 1
+    if has_kv_len:
+        kv_tail = (i_k + 1) * block_k > scalar_ref[0, b]
+        need = kv_tail if need is None else (need | kv_tail)
+
+    if need is None:
+        @pl.when(run)
+        def _go():
+            _compute(has_kv_len, causal)
+    else:
+        @pl.when(run & need)
+        def _masked():
+            _compute(has_kv_len, causal)
+
+        @pl.when(run & jnp.logical_not(need))
+        def _clean():
+            _compute(False, False)
 
     @pl.when(i_k == nk - 1)
     def _finish():
@@ -643,14 +682,20 @@ def _flash_bwd_dkv_kernel(
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
+    # block skip: a q block contributes iff its causal-live region
+    # intersects this kv block (last row >= first col), and a kv block
+    # fully beyond kv_len gets p == 0 from every q block -> dk/dv stay
+    # the zeros the scratch was initialized to
     run = True
-    if causal and not has_q_offsets:
-        # a q block contributes iff its causal-live region intersects this
-        # kv block: last row (iq*bq + q_offset + bq - 1) >= first col
-        run = i_q * block_q + q_offset + block_q > i_k * block_k
+    if causal:
+        last_row = i_q * block_q + q_offset + block_q
+        if has_q_offsets:
+            last_row = last_row + scalar_ref[1, b]
+        run = last_row > i_k * block_k
+    if has_kv_len:
+        run = run & (i_k * block_k < scalar_ref[0, b])
 
-    @pl.when(run)
-    def _compute():
+    def _compute(mask_kv, mask_causal):
         qs = q_ref[0]
         k = k_ref[0]
         v = v_ref[0]
@@ -660,11 +705,14 @@ def _flash_bwd_dkv_kernel(
         t = jax.lax.dot_general(
             qs, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # [bq, bk]
-        t = _mask_scores(
-            t, i_q, i_k, b, block_q=block_q, block_k=block_k, causal=causal,
-            q_offset=q_offset, scalar_ref=scalar_ref, has_kv_len=has_kv_len,
-            has_q_offsets=has_q_offsets, qseg_ref=qseg_ref,
-            kseg_ref=kseg_ref, packed_mode=packed_mode)
+        if mask_kv or mask_causal or has_segments:
+            t = _mask_scores(
+                t, i_q, i_k, b, block_q=block_q, block_k=block_k,
+                causal=causal, q_offset=q_offset, scalar_ref=scalar_ref,
+                has_kv_len=has_kv_len, has_q_offsets=has_q_offsets,
+                qseg_ref=qseg_ref, kseg_ref=kseg_ref,
+                packed_mode=packed_mode, mask_kv=mask_kv,
+                mask_causal=mask_causal)
         p = jnp.exp2(t - lse_ref[0][:, :1])
 
         dp = jax.lax.dot_general(
@@ -681,6 +729,29 @@ def _flash_bwd_dkv_kernel(
         dk_scr[:] += jax.lax.dot_general(
             ds.astype(qs.dtype), qs, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+
+    need = None
+    if causal:
+        row0 = i_q * block_q + q_offset
+        if has_q_offsets:
+            row0 = row0 + scalar_ref[1, b]
+        need = (i_k + 1) * block_k > row0 + 1
+    if has_kv_len:
+        kv_tail = (i_k + 1) * block_k > scalar_ref[0, b]
+        need = kv_tail if need is None else (need | kv_tail)
+
+    if need is None:
+        @pl.when(run)
+        def _go():
+            _compute(has_kv_len, causal)
+    else:
+        @pl.when(run & need)
+        def _masked():
+            _compute(has_kv_len, causal)
+
+        @pl.when(run & jnp.logical_not(need))
+        def _clean():
+            _compute(False, False)
 
     @pl.when(i_q == nq - 1)
     def _finish():

@@ -37,13 +37,28 @@ BLOCKS = [(512, 512), (512, 1024), (1024, 512), (1024, 1024),
           (1024, 2048), (2048, 1024), (2048, 512), (2048, 2048)]
 
 
+def _sync(x):
+    """Force real completion: scalar D2H readback. Through the TPU
+    tunnel (axon), jax.block_until_ready is a no-op and independent
+    same-input dispatches are lazily elided — only a data-dependent
+    readback proves the execution ran."""
+    return float(jnp.asarray(jax.tree.leaves(x)[0]).ravel()[0])
+
+
 def bench(fn, *args, iters=5):
+    """Chained timing: each iteration's q input depends on the previous
+    output, so the executions serialize on device; one scalar readback
+    closes the window."""
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
+    q, rest = args[0], args[1:]
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        dep = jax.tree.leaves(out)[0]
+        q = (q + 0.0 * dep.astype(q.dtype)).astype(q.dtype) \
+            if dep.shape == q.shape else q
+        out = fn(q, *rest)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 

@@ -75,13 +75,28 @@ def main():
     enc = WanTextEncoder(t5_params, spec.t5, tok,
                          compute_dtype=jnp.bfloat16)
     ctx_pair = enc([prompt, spec.sample_neg_prompt])  # compile
-    jax.block_until_ready(ctx_pair)
+    # timing through the TPU tunnel (axon): jax.block_until_ready is a
+    # no-op and independent same-input dispatches are elided — time K
+    # CHAINED encodes (each one's ids depend on the previous output) and
+    # close the window with a scalar D2H readback
+    ids, lens = tok.batch_encode_padded([prompt, spec.sample_neg_prompt])
+    ids = jnp.asarray(np.clip(np.asarray(ids, np.int32)
+                              [:, :spec.t5.text_len], 0,
+                              spec.t5.vocab_size - 1))
+    lens = jnp.asarray(np.minimum(np.asarray(lens, np.int32),
+                                  spec.t5.text_len))
+    out = enc._jit(t5_params, ids=ids, seq_lens=lens)
+    float(jnp.asarray(out).ravel()[0])  # sync warmup
+    reps = 4
     t0 = time.perf_counter()
-    ctx_pair = enc([prompt, spec.sample_neg_prompt])
-    jax.block_until_ready(ctx_pair)
-    encode_s = time.perf_counter() - t0
+    for _ in range(reps):
+        dep = (out[:, 0, 0] * 0.0).astype(jnp.int32)[:, None]
+        out = enc._jit(t5_params, ids=ids + dep, seq_lens=lens)
+    float(jnp.asarray(out).ravel()[0])
+    encode_s = (time.perf_counter() - t0) / reps
     ctx = np.asarray(ctx_pair[0])       # host copies so the device
     ctx_null = np.asarray(ctx_pair[1])  # buffers can be freed
+    del out
     del ctx_pair, enc, t5_params
     import gc
     gc.collect()

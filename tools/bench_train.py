@@ -96,11 +96,16 @@ def main():
     }
 
     state, loss = step(state, batch)   # compile
-    jax.block_until_ready(state)
+    # scalar readback, NOT block_until_ready: through the TPU tunnel
+    # (axon) block_until_ready is a no-op — only a data-dependent D2H
+    # readback proves the execution finished. The steps chain state so
+    # the loop serializes on device; the final float(loss) closes the
+    # timing window.
+    float(loss)
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, loss = step(state, batch)
-    jax.block_until_ready(state)
+    float(loss)
     per_step = (time.perf_counter() - t0) / n_steps
 
     tokens = dit_seq_len(spec, w, h, frames)

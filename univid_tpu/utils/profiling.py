@@ -24,6 +24,21 @@ from typing import Dict, Optional
 import jax
 
 
+def device_sync(x) -> None:
+    """Wait for the device work producing `x` to really finish.
+
+    jax.block_until_ready is a no-op through remote-relay backends (the
+    TPU tunnel): only a data-dependent D2H readback proves the execution
+    ran, so this reads ONE scalar from the first jax-array leaf (4-byte
+    transfer — one RTT, value discarded)."""
+    import jax.numpy as jnp
+
+    for leaf in jax.tree_util.tree_leaves(x):
+        if isinstance(leaf, jax.Array) and leaf.size > 0:
+            float(jnp.asarray(leaf).ravel()[0].astype(jnp.float32))
+            return
+
+
 class PhaseTimer:
     """Accumulates wall-clock per named phase; `block=True` waits for
     device work so async dispatch doesn't leak into the next phase."""
@@ -39,7 +54,7 @@ class PhaseTimer:
             yield
         finally:
             if block_on is not None:
-                jax.block_until_ready(block_on)
+                device_sync(block_on)
             dt = time.perf_counter() - t0
             self.totals[name] = self.totals.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1
@@ -48,7 +63,7 @@ class PhaseTimer:
         """Run fn, block on its result, attribute the time to `name`."""
         t0 = time.perf_counter()
         out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
+        device_sync(out)
         dt = time.perf_counter() - t0
         self.totals[name] = self.totals.get(name, 0.0) + dt
         self.counts[name] = self.counts.get(name, 0) + 1

@@ -172,11 +172,15 @@ def _grad_case(mode, b=2, lq=256, lk=256, n=2, d=64, seed=0):
     return q, k, v, g, kw
 
 
+@pytest.mark.parametrize("fused", [True, False],
+                         ids=["fused-one-pass", "two-pass"])
 @pytest.mark.parametrize(
     "mode", ["full", "causal", "kv_len", "causal_kv_len", "segments",
              "packed"])
-def test_flash_backward_grad_parity(mode):
-    """Pallas dq/dkv kernels (interpret) == jax.grad of the XLA reference."""
+def test_flash_backward_grad_parity(mode, fused):
+    """Pallas backward kernels (interpret) == jax.grad of the XLA
+    reference — both the fused one-pass kernel (VMEM-resident dk/dv)
+    and the two-pass dq/dkv fallback for long-kv shapes."""
     q, k, v, g, kw = _grad_case(mode)
 
     def ref_loss(q, k, v):
@@ -188,7 +192,8 @@ def test_flash_backward_grad_parity(mode):
         q, k, v, block_q=128, block_k=128, interpret=True,
         save_residuals=True, **kw)
     dq, dk, dv = fa.flash_attention_bwd_padded(
-        q, k, v, o, lse, g, block_q=128, block_k=128, interpret=True, **kw)
+        q, k, v, o, lse, g, block_q=128, block_k=128, interpret=True,
+        fused=fused, **kw)
 
     for got, ref, name in ((dq, dq_ref, "dq"), (dk, dk_ref, "dk"),
                            (dv, dv_ref, "dv")):

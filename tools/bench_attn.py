@@ -38,26 +38,36 @@ BLOCKS = [(512, 512), (512, 1024), (1024, 512), (1024, 1024),
 
 
 def _sync(x):
-    """Force real completion: scalar D2H readback. Through the TPU
-    tunnel (axon), jax.block_until_ready is a no-op and independent
-    same-input dispatches are lazily elided — only a data-dependent
-    readback proves the execution ran."""
-    return float(jnp.asarray(jax.tree.leaves(x)[0]).ravel()[0])
+    """Force real completion: scalar D2H readback from EVERY output
+    leaf. Through the TPU tunnel (axon), jax.block_until_ready is a
+    no-op and dispatches whose outputs are never read are lazily elided
+    — only a data-dependent readback proves an execution ran, and each
+    independent output (e.g. the dq vs dkv backward kernels) needs its
+    own."""
+    for leaf in jax.tree.leaves(x):
+        float(jnp.asarray(leaf).ravel()[0].astype(jnp.float32))
 
 
 def bench(fn, *args, iters=5):
-    """Chained timing: each iteration's q input depends on the previous
-    output, so the executions serialize on device; one scalar readback
-    closes the window."""
+    """Chained timing with zero host-side ops in the loop: the previous
+    output leaves are fed back as the next inputs (grad's (dq, dk, dv)
+    re-enter as (q, k, v); a single output re-enters as q), so every
+    output-producing kernel stays live and executions serialize on
+    device; scalar readbacks from every leaf close the window. Values
+    drift across iterations — timing is shape-, not value-, dependent."""
     out = fn(*args)
     _sync(out)
-    q, rest = args[0], args[1:]
     t0 = time.perf_counter()
     for _ in range(iters):
-        dep = jax.tree.leaves(out)[0]
-        q = (q + 0.0 * dep.astype(q.dtype)).astype(q.dtype) \
-            if dep.shape == q.shape else q
-        out = fn(q, *rest)
+        leaves = jax.tree.leaves(out)
+        if len(leaves) == len(args) and all(
+                l_.shape == a.shape for l_, a in zip(leaves, args)):
+            out = fn(*(l_.astype(a.dtype)
+                       for l_, a in zip(leaves, args)))
+        elif leaves[0].shape == args[0].shape:
+            out = fn(leaves[0].astype(args[0].dtype), *args[1:])
+        else:
+            out = fn(*args)
     _sync(out)
     return (time.perf_counter() - t0) / iters
 
@@ -109,12 +119,25 @@ def sweep_bwd(name, b, l, n, d, iters):
     print(f"== bwd {name}: B{b} L{l} H{n} D{d} "
           f"({bwd_flops/1e12:.1f} TFLOP executed/bwd) ==")
 
-    # residual-saving forward alone (same program the vjp fwd runs)
+    # residual-saving forward alone (same program the vjp fwd runs —
+    # attention() pads internally; block_q is capped at 1024 by the vjp)
     from univid_tpu.kernels.flash_attention import flash_attention_padded
-    fwd_fn = jax.jit(functools.partial(
-        flash_attention_padded, block_q=1024, block_k=1024,
-        save_residuals=True))
-    t_fwd = bench(lambda a, b_, c: fwd_fn(a, b_, c), q, k, v, iters=iters)
+
+    def fwd_padded(a, b_, c):
+        pad = (-a.shape[1]) % 1024
+        a, b_, c = (jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                    for x in (a, b_, c))
+        kvl = jnp.full((a.shape[0],), l, jnp.int32)
+        o, lse = flash_attention_padded(a, b_, c, block_q=1024,
+                                        block_k=1024, kv_len=kvl,
+                                        save_residuals=True)
+        # consume lse inside the program so its write can't be elided;
+        # slice back to the unpadded length for clean chaining
+        return o[:, :l] + (0.0 * lse[0, 0, 0]).astype(o.dtype)
+
+    fwd_fn = jax.jit(fwd_padded)
+    t_fwd = bench(fwd_fn, q, k, v, iters=iters)
+    print(f"residual-saving fwd (1024,1024): {t_fwd*1e3:8.2f} ms")
 
     for bq, bk in BWD_BLOCKS:
         fn = jax.jit(jax.grad(lambda a, b_, c: attention(

@@ -265,12 +265,14 @@ def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
 
     # backward kernel tiles (only used when this call is differentiated):
     # independent of the forward's because the bwd kernels hold ~4 fp32
-    # [bq, bk] intermediates (t/p/dp/ds) plus two accumulator scratches —
-    # the v5e sweep (tools/bench_attn.py ATTN_MODE=bwd) picks the tile
+    # [bq, bk] intermediates (t/p/dp/ds) plus two accumulator scratches.
+    # v5e sweep (tools/bench_attn.py ATTN_MODE=bwd, 32,760 tokens x 12
+    # heads x d128): (512,512) 70.9% -> (1024,2048) 83.1% MFU of the
+    # executed two-pass FLOPs
     if bwd_block_q is None:
         bwd_block_q = 1024 if lq >= 4096 else 256
     if bwd_block_k is None:
-        bwd_block_k = 1024 if lk >= 4096 else 512
+        bwd_block_k = 2048 if lk >= 4096 else 512
     o = _flash(q, k, v, kv_len, q_segments, kv_segments, q_offsets,
                causal, q_offset, softmax_scale, block_q, block_k,
                packed_mode, softmax_bf16, bwd_block_q, bwd_block_k)

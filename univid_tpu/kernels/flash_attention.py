@@ -761,6 +761,144 @@ def _flash_bwd_dkv_kernel(
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+def _flash_bwd_fused_kernel(
+    *refs,
+    num_heads: int,
+    block_q: int,
+    block_k: int,
+    causal: bool,
+    q_offset: int,
+    softmax_scale: float,
+    has_scalars: bool,
+    has_kv_len: bool,
+    has_q_offsets: bool,
+    has_segments: bool,
+    packed_mode: bool,
+):
+    """One-pass backward: dq + dk + dv from a single recompute of p.
+
+    Grid (B*N, nq, nk), kv innermost. The score-chain matmuls (t, dp)
+    run ONCE per block pair instead of once per kernel — 5 block-matmuls
+    total vs the two-pass kernels' 7 (a 28% FLOP cut). Safe accumulation
+    without output-block revisits (Pallas TPU does not preserve revisited
+    output blocks):
+      dq    — fp32 scratch per q block, written at i_k == nk-1 (the dq
+              out block index depends only on i_q -> consecutive visits)
+      dk/dv — FULL-LENGTH fp32 out blocks indexed by the bn axis only
+              (constant across the whole inner+outer sweep -> VMEM-
+              resident, accumulated in place via dynamic-slice stores).
+    The resident kv grads cost 2*Lk*D*4 bytes of VMEM, so this kernel is
+    selected only when that fits (see _FUSED_KV_VMEM_BUDGET)."""
+    idx = 0
+    scalar_ref = None
+    if has_scalars:
+        scalar_ref = refs[idx]
+        idx += 1
+    q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref = refs[idx:idx + 6]
+    idx += 6
+    qseg_ref = kseg_ref = None
+    if has_segments:
+        qseg_ref, kseg_ref = refs[idx:idx + 2]
+        idx += 2
+    dq_ref, dk_ref, dv_ref = refs[idx:idx + 3]
+    dq_scr = refs[idx + 3]
+
+    i_q = pl.program_id(1)
+    i_k = pl.program_id(2)
+    nk = pl.num_programs(2)
+    b = pl.program_id(0) // num_heads
+
+    @pl.when((i_q == 0) & (i_k == 0))
+    def _init_kv():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    @pl.when(i_k == 0)
+    def _init_q():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    run = True
+    if causal:
+        first_masked_col = i_q * block_q + q_offset + block_q
+        if has_q_offsets:
+            first_masked_col = first_masked_col + scalar_ref[1, b]
+        run = i_k * block_k < first_masked_col
+    if has_kv_len:
+        run = run & (i_k * block_k < scalar_ref[0, b])
+
+    def _compute(mask_kv, mask_causal):
+        qs = q_ref[0]   # [bq, d], pre-scaled by scale*log2(e)
+        k = k_ref[0]    # [bk, d]
+        v = v_ref[0]
+        do = do_ref[0]  # [bq, d]
+        o = o_ref[0]
+
+        t = jax.lax.dot_general(
+            qs, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [bq, bk]
+        if mask_kv or mask_causal or has_segments:
+            t = _mask_scores(
+                t, i_q, i_k, b, block_q=block_q, block_k=block_k,
+                causal=causal, q_offset=q_offset, scalar_ref=scalar_ref,
+                has_kv_len=has_kv_len, has_q_offsets=has_q_offsets,
+                qseg_ref=qseg_ref, kseg_ref=kseg_ref,
+                packed_mode=packed_mode, mask_kv=mask_kv,
+                mask_causal=mask_causal)
+        p = jnp.exp2(t - lse_ref[0][:, :1])      # [bq, bk]
+
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [bq, bk]
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1, keepdims=True)  # [bq, 1]
+        ds = p * (dp - delta)
+
+        dq_scr[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        rows = pl.dslice(i_k * block_k, block_k)
+        dv_ref[0, rows, :] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_ref[0, rows, :] += jax.lax.dot_general(
+            ds.astype(qs.dtype), qs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    need = None
+    if causal:
+        row0 = i_q * block_q + q_offset
+        if has_q_offsets:
+            row0 = row0 + scalar_ref[1, b]
+        need = (i_k + 1) * block_k > row0 + 1
+    if has_kv_len:
+        kv_tail = (i_k + 1) * block_k > scalar_ref[0, b]
+        need = kv_tail if need is None else (need | kv_tail)
+
+    if need is None:
+        @pl.when(run)
+        def _go():
+            _compute(has_kv_len, causal)
+    else:
+        @pl.when(run & need)
+        def _masked():
+            _compute(has_kv_len, causal)
+
+        @pl.when(run & jnp.logical_not(need))
+        def _clean():
+            _compute(False, False)
+
+    @pl.when(i_k == nk - 1)
+    def _finish():
+        dq_ref[0] = (dq_scr[:] * softmax_scale).astype(dq_ref.dtype)
+
+
+# resident fp32 dk+dv budget for the fused backward: 2 * Lk * D * 4 B.
+# 32k tokens x d128 = 33.5 MiB — together with the (1024, 1024) fp32
+# score tiles (~16 MiB) it stays under the 64 MiB scoped-vmem limit.
+_FUSED_KV_VMEM_BUDGET = 36 * 1024 * 1024
+
+
 def _pick_block(length: int, pref: int) -> int:
     for c in (pref, 1024, 512, 256, 128):
         if c <= length and length % c == 0:
@@ -787,6 +925,7 @@ def flash_attention_bwd_padded(
     interpret: Optional[bool] = None,
     packed_mode: bool = False,
     q_offsets: Optional[jnp.ndarray] = None,
+    fused: Optional[bool] = None,
 ):
     if interpret is None:
         interpret = _INTERPRET
@@ -841,6 +980,88 @@ def flash_attention_bwd_padded(
 
     def vspec(bs, imap):
         return pl.BlockSpec(bs, imap, memory_space=pltpu.VMEM)
+
+    # ---- fused one-pass (5 matmuls) when the resident fp32 dk+dv fit
+    # VMEM; falls through to the two-pass kernels (7 matmuls) otherwise
+    if fused is None:
+        fused = 2 * lk * d * 4 <= _FUSED_KV_VMEM_BUDGET
+    if fused:
+        # v5e sweep at the 1.3B train shape (32,760 tok x 12 h x d128):
+        # (512, 1024) 134.9 ms < (1024, 1024) 140.5 < (512, 2048) 148.1
+        # < (256, 1024) 154.1 — the smaller q tile keeps the 4 fp32
+        # score intermediates light next to the resident fp32 dk/dv
+        fbq = min(block_q, 512)
+        fbk = min(block_k, 1024)
+        fbq = _pick_block(lq, fbq)
+        fbk = _pick_block(lk, fbk)
+        fcommon = dict(common, block_q=fbq, block_k=fbk)
+        f_q = lambda ibn, iq, ik, *_, _n=n: (ibn // _n, iq, ibn % _n)
+        f_k = lambda ibn, iq, ik, *_: (ibn, ik, 0)
+        f_lse = lambda ibn, iq, ik, *_: (ibn, iq, 0)
+        f_specs = [
+            vspec((1, fbq, d), f_q),            # q (resident per iq)
+            vspec((1, fbk, d), f_k),            # k (folded, re-read)
+            vspec((1, fbk, d), f_k),            # v
+            vspec((1, fbq, d), f_q),            # do
+            vspec((1, fbq, d), f_q),            # o
+            vspec((1, fbq, 128), f_lse),        # lse
+        ]
+        f_inputs = [native(qs), fold(k), fold(v), native(do), native(o),
+                    lse]
+        if has_segments:
+            f_specs += [
+                vspec((1, fbq, 128),
+                      lambda ibn, iq, ik, *_, _n=n: (ibn // _n, iq, 0)),
+                vspec((1, 8, fbk),
+                      lambda ibn, iq, ik, *_, _n=n: (ibn // _n, 0, ik)),
+            ]
+            f_inputs += seg_inputs
+        f_grid = (b * n, lq // fbq, lk // fbk)
+        f_out_specs = (
+            vspec((1, fbq, d), f_q),                       # dq
+            vspec((1, lk, d), lambda ibn, iq, ik, *_: (ibn, 0, 0)),  # dk
+            vspec((1, lk, d), lambda ibn, iq, ik, *_: (ibn, 0, 0)),  # dv
+        )
+        f_out_shapes = (
+            jax.ShapeDtypeStruct((b, lq, n * d), q.dtype),
+            jax.ShapeDtypeStruct((b * n, lk, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * n, lk, d), jnp.float32),
+        )
+        f_scratch = [pltpu.VMEM((fbq, d), jnp.float32)]
+        f_cost = pl.CostEstimate(
+            flops=5 * b * n * lq * lk * d,
+            bytes_accessed=3 * q.size * q.dtype.itemsize
+            + 2 * k.size * q.dtype.itemsize * (lq // fbq)
+            + lse.size * 4 + 2 * b * n * lk * d * 4,
+            transcendentals=b * n * lq * lk,
+        )
+        f_kernel = functools.partial(_flash_bwd_fused_kernel, **fcommon)
+        f_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024)
+        if has_scalars:
+            dqf, dkf, dvf = pl.pallas_call(
+                f_kernel,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1, grid=f_grid, in_specs=f_specs,
+                    out_specs=f_out_specs, scratch_shapes=f_scratch),
+                out_shape=f_out_shapes, interpret=interpret,
+                cost_estimate=f_cost, compiler_params=f_params,
+            )(scalars, *f_inputs)
+        else:
+            dqf, dkf, dvf = pl.pallas_call(
+                f_kernel, grid=f_grid, in_specs=f_specs,
+                out_specs=f_out_specs, out_shape=f_out_shapes,
+                scratch_shapes=f_scratch, interpret=interpret,
+                cost_estimate=f_cost, compiler_params=f_params,
+            )(*f_inputs)
+        dq_out = dqf.reshape(b, lq, n, d)
+        # dk accumulated against the PRE-SCALED q (see two-pass _finish)
+        dk_out = (dkf * math.log(2.0)).astype(k.dtype).reshape(
+            b, n, lk, d).transpose(0, 2, 1, 3)
+        dv_out = dvf.astype(v.dtype).reshape(
+            b, n, lk, d).transpose(0, 2, 1, 3)
+        return dq_out, dk_out, dv_out
 
     # ---- dq: grid (B*N, nq, nk), kv innermost ----
     q_by_iq = lambda ibn, iq, ik, *_, _n=n: (ibn // _n, iq, ibn % _n)

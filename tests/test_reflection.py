@@ -151,11 +151,16 @@ def test_static_cumulative_selection_semantics():
     class SpyScorer(MockScorer):
         def __init__(self):
             super().__init__(16)
-            self.requests = []
+            self.embed_calls = []
+            self.text_calls = 0
 
-        def rank_frames(self, frames, query, topk, bs=64):
-            self.requests.append((len(frames), topk))
-            return list(range(topk)), [1.0] * topk
+        def emb_imgs(self, frames, bs=64):
+            self.embed_calls.append(len(frames))
+            return super().emb_imgs(frames, bs=bs)
+
+        def emb_text(self, q):
+            self.text_calls += 1
+            return super().emb_text(q)
 
     scorer = SpyScorer()
     cfg = ReflexionConfig(pool_frames=16, caption_seed_frames=2,
@@ -163,8 +168,12 @@ def test_static_cumulative_selection_semantics():
     _, trace = reflexion_answer_one(
         "v.mp4", "what?", bagel, refl, judge, scorer, cfg,
         frames=_frames(16))
-    # top-ups: 4 new from 16 remaining, 4 new from 12, 8 new from 8
-    assert scorer.requests == [(16, 4), (12, 4), (8, 8)]
+    # the pool is embedded ONCE (later rounds are text-tower-only
+    # re-ranks over the cached embeddings); each round's top-up keeps
+    # previously selected frames and adds only K - len(selected) new,
+    # excluded from re-selection -> cumulative K per round stays 4/8/16
+    assert scorer.embed_calls == [16]
+    assert scorer.text_calls == 3
     assert [r["K"] for r in trace["rounds"]] == [4, 8, 16]
 
 

@@ -183,10 +183,11 @@ def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
     """Multi-head attention over [B, L, N, D] tensors.
 
     Default block sizes auto-tune by sequence length: the v5e sweep
-    (tools/bench_attn.py, 33k tokens x 12 heads x d128) measured 28% MFU
-    at (256, 512) vs 67% at (1024, 1024) — softmax VPU overhead and m/l
-    correction steps amortize over larger tiles. (2048, 2048) exceeds
-    VMEM."""
+    (tools/bench_attn.py, 33k tokens x 12 heads x d128, chained-dispatch
+    timing) measured 37-52% MFU at small tiles vs 60.9% at (1024, 1024)
+    and 69.1% at (2048, 2048) — softmax VPU overhead and m/l correction
+    steps amortize over larger tiles (needs the 64 MiB scoped-vmem
+    limit)."""
     b, lq, n, d = q.shape
     lk = k.shape[1]
     # head dims that aren't lane-multiples (e.g. SigLIP so400m d=72)
@@ -224,9 +225,10 @@ def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
             block_q = 256
     if block_k is None:
         if lk >= 4096:
-            # r4 v5e sweep: (2048, 2048) reaches 74-75% kernel MFU vs 67%
-            # at (2048, 1024) now that the 64 MiB scoped-vmem limit admits
-            # the larger kv tile; prefer it when it adds no extra padding
+            # r4 v5e sweep (chained-dispatch timing): (2048, 2048)
+            # reaches 69.1% kernel MFU vs 60.9% at (1024, 1024) now that
+            # the 64 MiB scoped-vmem limit admits the larger kv tile;
+            # prefer it when it adds no extra padding
             block_k = 2048 if _round_up(lk, 2048) == _round_up(lk, 1024) \
                 else 1024
         else:

@@ -111,15 +111,23 @@ def reflexion_answer_one(
             frame_notes.append(out.get("text", ""))
     global_caption = qwen_client.summarize_frames(frame_notes)
 
+    # the pool is fixed across reflexion rounds: embed it once and
+    # re-rank each refined query through the text tower only
+    pool_emb_cache: List[Optional[np.ndarray]] = [None]
+
     def select_topk(query_text: str, topk: int, exclude: set
                     ) -> Tuple[List[int], List[float]]:
         remain = [i for i in range(n) if i not in exclude]
         if not remain:
             return [], []
-        idx_local, scores = scorer.rank_frames(
-            [pool[i] for i in remain], query_text,
-            topk=min(topk, len(remain)), bs=cfg.siglip_bs)
-        return [remain[j] for j in idx_local], scores
+        if pool_emb_cache[0] is None:
+            pool_emb_cache[0] = np.asarray(
+                scorer.emb_imgs(pool, bs=cfg.siglip_bs))
+        t = np.asarray(scorer.emb_text(query_text)).reshape(-1)
+        sims = pool_emb_cache[0][remain] @ t
+        k = min(topk, len(remain))
+        order = np.argsort(-sims)[:k]
+        return [remain[j] for j in order], [float(sims[j]) for j in order]
 
     def qa_on_frames(frame_list: List[np.ndarray]) -> str:
         out = bagel.video_understanding(

@@ -305,11 +305,18 @@ class Siglip2Scorer:
         return np.asarray(t, np.float32)
 
     def rank_frames(self, frames: List[np.ndarray], query: str, topk: int,
-                    bs: int = 64) -> Tuple[List[int], List[float]]:
-        if len(frames) == 0:
+                    bs: int = 64, v_emb: Optional[np.ndarray] = None
+                    ) -> Tuple[List[int], List[float]]:
+        """Rank frames against a text query. `v_emb` lets callers reuse
+        precomputed image embeddings: the reflexion loop re-ranks the
+        SAME frame pool with a refined query each round (reference
+        recomputes the image tower per round, eval_understanding.py:
+        198-206) — caching them makes later rounds text-tower-only."""
+        if len(frames) == 0 and (v_emb is None or len(v_emb) == 0):
             return [], []
         t = self.emb_text(query)          # [1, P]
-        v = self.emb_imgs(frames, bs=bs)  # [N, P]
+        v = v_emb if v_emb is not None \
+            else self.emb_imgs(frames, bs=bs)  # [N, P]
         sims = (v @ t.T).squeeze(-1)
         k = min(topk, sims.shape[0])
         idx = np.argsort(-sims)[:k]

@@ -894,9 +894,10 @@ def _flash_bwd_fused_kernel(
 
 
 # resident fp32 dk+dv budget for the fused backward: 2 * Lk * D * 4 B.
-# 32k tokens x d128 = 33.5 MiB — together with the (1024, 1024) fp32
-# score tiles (~16 MiB) it stays under the 64 MiB scoped-vmem limit.
-_FUSED_KV_VMEM_BUDGET = 36 * 1024 * 1024
+# 32k tokens x d128 = 33.5 MiB, BAGEL's 36,864-token packed-training
+# shape = 37.7 MiB — together with the (512, 1024) fp32 score tiles
+# (~8 MiB) both stay under the kernel's 100 MiB scoped-vmem limit.
+_FUSED_KV_VMEM_BUDGET = 42 * 1024 * 1024
 
 
 def _pick_block(length: int, pref: int) -> int:

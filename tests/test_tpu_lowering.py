@@ -79,10 +79,14 @@ def test_fwd_packed_segments_lowers():
                           packed_mode=True, interpret=False), q, k, v)
 
 
+@pytest.mark.parametrize("fused", [True, False],
+                         ids=["fused-one-pass", "two-pass"])
 @pytest.mark.parametrize("causal", [False, True])
-def test_bwd_kernels_lower(causal):
-    # the dq/dkv kernels directly (the custom_vjp in kernels.attention
-    # routes grads here); also covers the residual-saving forward
+def test_bwd_kernels_lower(causal, fused):
+    # both backward paths directly (the custom_vjp in kernels.attention
+    # routes grads here): the fused one-pass kernel (dynamic-slice
+    # accumulation into VMEM-resident dk/dv out blocks) and the two-pass
+    # dq/dkv fallback; also covers the residual-saving forward
     q, k, v = _qkv()
 
     def fwd_and_bwd(q, k, v):
@@ -91,6 +95,27 @@ def test_bwd_kernels_lower(causal):
                                         interpret=False)
         g = jnp.ones_like(o)
         return flash_attention_bwd_padded(q, k, v, o, lse, g, causal=causal,
-                                          interpret=False)
+                                          fused=fused, interpret=False)
+
+    _lower_tpu(fwd_and_bwd, q, k, v)
+
+
+def test_bwd_fused_packed_kv_len_lowers():
+    # fused backward with the BAGEL packed mask + a kv_len tail — the
+    # config the packed-training path differentiates through
+    b, l = 1, 512
+    q, k, v = _qkv(lq=l, lk=l)
+    qseg = jnp.ones((b, l), jnp.int32)
+    kseg = jnp.ones((b, l), jnp.int32)
+    kv_len = jnp.full((b,), 500, jnp.int32)
+
+    def fwd_and_bwd(q, k, v):
+        kw = dict(q_segments=qseg, kv_segments=kseg, packed_mode=True,
+                  kv_len=kv_len, interpret=False)
+        o, lse = flash_attention_padded(q, k, v, block_q=256, block_k=512,
+                                        save_residuals=True, **kw)
+        g = jnp.ones_like(o)
+        return flash_attention_bwd_padded(q, k, v, o, lse, g, fused=True,
+                                          **kw)
 
     _lower_tpu(fwd_and_bwd, q, k, v)

@@ -27,6 +27,7 @@ TPU redesign:
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -273,13 +274,22 @@ def qwen2_mot_forward(
         v_cache = jax.lax.dynamic_update_slice(
             v_cache_in, v.astype(v_cache_in.dtype), (kv_len, 0, 0))
 
-        # GQA: expand kv heads to query heads
         groups = cfg.num_heads // cfg.num_kv_heads
-        kk = jnp.repeat(k_cache, groups, axis=1)
-        vv = jnp.repeat(v_cache, groups, axis=1)
-
-        attn = _cached_attention(q, kk, vv, kv_len, new_len, is_causal,
-                                 compute_dtype)
+        if l <= _GQA_DENSE_MAX_Q and groups > 1:
+            # decode path: GQA-native dense attention over the
+            # UN-REPEATED cache — jnp.repeat would materialize (and the
+            # kernel would read) groups x the KV bytes per layer per
+            # token; at a 16-frame video-QA context (~12k cached tokens,
+            # 7 groups) that repeat traffic dominates decode
+            attn = _gqa_dense_attention(q, k_cache, v_cache, kv_len,
+                                        new_len, is_causal, compute_dtype)
+        else:
+            # prefill path: the one-off repeat amortizes over the
+            # compute-bound flash prefill
+            kk = jnp.repeat(k_cache, groups, axis=1)
+            vv = jnp.repeat(v_cache, groups, axis=1)
+            attn = _cached_attention(q, kk, vv, kv_len, new_len,
+                                     is_causal, compute_dtype)
         attn = attn.reshape(l, cfg.num_heads * hd)
         attn = proj(attn_p, attn_g, "o", attn)
         h = h + attn
@@ -313,6 +323,39 @@ def qwen2_mot_forward(
             h = nn.rms_norm(h, params["norm"].astype(h.dtype),
                             eps=cfg.rms_norm_eps)
     return h, new_cache
+
+
+# AR decode appends <= a handful of tokens per step; the dense GQA path
+# materializes [l, n, S] fp32 scores, so cap the q rows it serves
+_GQA_DENSE_MAX_Q = 32
+
+
+def _gqa_dense_attention(q, k_cache, v_cache, kv_len, new_len, is_causal,
+                         compute_dtype):
+    """Decode-shaped attention with native grouped-query heads.
+
+    q [l, n, d] over caches [S, kvh, d] with n = g * kvh — contracts
+    directly against the kv heads (no repeat), fp32 scores/softmax like
+    the flash kernel. Masks: col < new_len, plus absolute causal
+    col <= kv_len + row when is_causal."""
+    l, n, d = q.shape
+    s_cap, kvh, _ = k_cache.shape
+    g = n // kvh
+    qg = q.reshape(l, kvh, g, d).astype(compute_dtype)
+    scores = jnp.einsum(
+        "lkgd,skd->lkgs", qg, k_cache.astype(compute_dtype),
+        preferred_element_type=jnp.float32) * (1.0 / math.sqrt(d))
+    col = jnp.arange(s_cap)
+    mask = col[None, :] < new_len
+    if is_causal:
+        row_pos = kv_len + jnp.arange(l)
+        mask = mask & (col[None, :] <= row_pos[:, None])
+    scores = jnp.where(mask[:, None, None, :], scores, -1e30)
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("lkgs,skd->lkgd", p.astype(compute_dtype),
+                     v_cache.astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(l, n, d).astype(compute_dtype)
 
 
 def _cached_attention(q, k_cache, v_cache, kv_len, new_len, is_causal,

@@ -133,6 +133,55 @@ def bench_caption(n_frames: int, max_tokens: int):
                             != "0" else ""))}
 
 
+def bench_vqa(n_ctx_frames: int, max_tokens: int):
+    """video_understanding: N-frame ViT context prefill + long AR decode
+    — the reflexion hot loop (SURVEY §3.3; <=512 think tokens is the
+    BASELINE decode contract). Exercises the GQA-native dense decode
+    over the long multi-frame cache."""
+    import time as _t
+
+    from univid_tpu.models.bagel.bagel import BagelConfig, init_bagel
+    from univid_tpu.models.bagel.qwen2_mot import Qwen2MoTConfig
+    from univid_tpu.models.bagel.siglip import SiglipConfig, init_siglip
+    from univid_tpu.pipelines.interleave import InterleaveInferencer
+    from univid_tpu.utils.tokenizers import HashTokenizer
+
+    layers = int(os.environ.get("QA_LM_LAYERS", "28"))
+    hidden = int(os.environ.get("QA_LM_HIDDEN", "2048"))
+    inter = int(os.environ.get("QA_LM_INTER", str(hidden * 4)))
+    llm = Qwen2MoTConfig(vocab_size=32000, hidden_size=hidden,
+                         intermediate_size=inter, num_layers=layers,
+                         num_heads=hidden // 128, num_kv_heads=4,
+                         moe=os.environ.get("QA_MOE", "1") != "0")
+    cfg = BagelConfig(llm=llm, vit_hidden_size=1152, vit_patch_size=14,
+                      start_of_image=31990, end_of_image=31991,
+                      bos_token_id=31992, eos_token_id=31993)
+    scfg = SiglipConfig(hidden_size=1152, intermediate_size=4304,
+                        num_layers=27, num_heads=16, patch_size=14,
+                        image_size=224)
+    params = init_bagel(jax.random.PRNGKey(0), cfg,
+                        param_dtype=jnp.bfloat16)
+    sig = init_siglip(jax.random.PRNGKey(1), scfg,
+                      param_dtype=jnp.bfloat16)
+    inf = InterleaveInferencer(params, cfg,
+                               HashTokenizer(vocab_size=31990),
+                               siglip_params=sig, siglip_cfg=scfg,
+                               compute_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(2)
+    frames = [jnp.asarray(rng.integers(0, 255, (224, 224, 3), np.uint8))
+              for _ in range(n_ctx_frames)]
+    kw = dict(max_think_token_n=max_tokens, do_sample=False)
+    inf.video_understanding(frames, "warmup question?", **kw)
+    t0 = _t.perf_counter()
+    out = inf.video_understanding(frames, "What happens in this video?",
+                                  **kw)
+    dt = _t.perf_counter() - t0
+    n_out = max(1, len(out.get("text", "").split()))
+    return {"vqa_s_per_answer": round(dt, 2),
+            "vqa_decode_tokens_per_s": round(max_tokens / dt, 1),
+            "ctx_frames": n_ctx_frames, "decoded": n_out}
+
+
 def main():
     n_frames = int(os.environ.get("QA_FRAMES", "64"))
     cap_frames = int(os.environ.get("QA_CAP_FRAMES", "16"))
@@ -142,6 +191,10 @@ def main():
     detail["scorer"] = bench_scorer(n_frames)
     if os.environ.get("QA_CAPTION", "1") != "0":
         detail["caption"] = bench_caption(cap_frames, max_tokens)
+    if os.environ.get("QA_VQA", "0") != "0":
+        detail["vqa"] = bench_vqa(
+            int(os.environ.get("QA_VQA_FRAMES", "16")),
+            int(os.environ.get("QA_VQA_TOKENS", "128")))
     print(json.dumps({"metric": f"qa_rank{n_frames}_caption{cap_frames}",
                       "detail": detail}))
 

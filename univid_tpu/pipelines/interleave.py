@@ -68,6 +68,25 @@ class InterleaveInferencer:
         self.capacity = capacity
         self.dtype = compute_dtype
         self._caption_jit_cache = {}
+        # ONE jit object per context-update path (jit's own trace cache
+        # handles per-shape programs): run eagerly, the 27-layer SigLIP
+        # tower + append dissolve into hundreds of per-op dispatches —
+        # ~3.4 s/frame through the remote TPU tunnel vs ~30 ms compiled
+        import functools as _ft
+        self._jit_text = jax.jit(_ft.partial(
+            update_context_text, cfg=self.cfg, compute_dtype=self.dtype))
+        if siglip_params is not None:
+
+            def _vit_append(params, sig_params, ctx, patches, pos, segs,
+                            n_valid):
+                feats = siglip_forward(sig_params, self.siglip_cfg,
+                                       patches, pos, segment_ids=segs,
+                                       compute_dtype=self.dtype)
+                return update_context_vit(params, self.cfg, ctx, feats,
+                                          pos, compute_dtype=self.dtype,
+                                          n_valid=n_valid)
+
+            self._jit_vit_append = jax.jit(_vit_append)
 
     # ------------------------------------------------------------------
     def init_gen_context(self):
@@ -76,12 +95,22 @@ class InterleaveInferencer:
                                 if self.dtype == jnp.bfloat16
                                 else jnp.float32)
 
+    # prompt-length buckets: prefill programs are shape-keyed, so an
+    # unbucketed text append recompiles for EVERY new prompt length
+    # (~tens of seconds per reflexion query on a cold cache); ids are
+    # padded to the bucket and only n_valid advance the cache/rope
+    TEXT_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
     def update_context_text(self, text: str, ctx):
         ids = [self.cfg.bos_token_id] + self.tokenizer.encode(text) + \
             [self.cfg.eos_token_id]
-        return update_context_text(self.params, self.cfg, ctx,
-                                   jnp.asarray(ids, jnp.int32),
-                                   compute_dtype=self.dtype)
+        n = len(ids)
+        bucket = next((b for b in self.TEXT_BUCKETS if b >= n),
+                      ((n + 63) // 64) * 64)
+        ids = ids + [0] * (bucket - n)
+        return self._jit_text(self.params, ctx=ctx,
+                              text_ids=jnp.asarray(ids, jnp.int32),
+                              n_valid=jnp.asarray(n, jnp.int32))
 
     def vit_resize(self, image: jnp.ndarray) -> jnp.ndarray:
         """Stride-aligned resize for the ViT path (the reference
@@ -157,12 +186,10 @@ class InterleaveInferencer:
         scfg = self.siglip_cfg
         if bucketed:
             patches, pos, segs, n = self._prep_image_bucketed(image)
-            feats = siglip_forward(self.siglip_params, scfg, patches, pos,
-                                   segment_ids=segs,
-                                   compute_dtype=self.dtype)
-            return update_context_vit(self.params, self.cfg, ctx, feats,
-                                      pos, compute_dtype=self.dtype,
-                                      n_valid=jnp.asarray(n, jnp.int32))
+            return self._jit_vit_append(
+                self.params, self.siglip_params, ctx, patches,
+                jnp.asarray(pos), jnp.asarray(segs),
+                jnp.asarray(n, jnp.int32))
         image = self.vit_resize(image)
         patches = image_to_patches(image, scfg.patch_size)
         h_p = image.shape[0] // scfg.patch_size
@@ -331,7 +358,11 @@ class InterleaveInferencer:
             if isinstance(term, str):
                 cfg_text_ctx = ctx
                 ctx = self.update_context_text(term, ctx)
-                cfg_img_ctx = self.update_context_text(term, cfg_img_ctx)
+                if not understanding_output:
+                    # CFG contexts only feed gen_image — understanding
+                    # runs never read them, so skip the duplicate prefill
+                    cfg_img_ctx = self.update_context_text(
+                        term, cfg_img_ctx)
             else:
                 # generation/editing contexts condition on BOTH towers
                 # (VAE latents + ViT); understanding uses ViT only

@@ -167,10 +167,18 @@ class InterleaveInferencer:
         resized image, append the timestep-0 latent rows in gen mode."""
         assert self.vae_params is not None, "image VAE not loaded"
         image = self.vae_resize(image)
-        latent = image_vae_encode(self.vae_params, self.vae_cfg,
-                                  image[None])[0]
-        return update_context_vae(self.params, self.cfg, ctx, latent,
-                                  compute_dtype=self.dtype)
+        fn = getattr(self, "_jit_vae_append", None)
+        if fn is None:
+            # eager, the FLUX encoder's ~30 conv/res blocks are per-op
+            # tunnel dispatches; jit once, trace cache keys on image shape
+            def _vae_append(params, vae_params, ctx, img):
+                latent = image_vae_encode(vae_params, self.vae_cfg,
+                                          img[None])[0]
+                return update_context_vae(params, self.cfg, ctx, latent,
+                                          compute_dtype=self.dtype)
+
+            fn = self._jit_vae_append = jax.jit(_vae_append)
+        return fn(self.params, self.vae_params, ctx, image)
 
     def update_context_image(self, image: jnp.ndarray, ctx,
                              bucketed: bool = True, vae: bool = False):

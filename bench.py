@@ -148,6 +148,13 @@ def measure(model: str, w: int, h: int, frames: int, steps_measured: int,
 
     kw = dict(size=(w, h), frame_num=frames, sampling_steps=steps_measured,
               decode=False)
+    ts = int(os.environ.get("BENCH_TAYLORSEER", "0"))
+    if ts > 0:
+        # TaylorSeer fast mode: per-step cost alternates between full
+        # refreshes and cached Taylor extrapolations, so this is only
+        # honest when the TIMED schedule is the full one
+        # (BENCH_STEPS=50); quality gate in tools/quality_sweep.py
+        kw["taylorseer_threshold"] = ts
     # warmup uses a different seed and the timed run is completed via a
     # host fetch (see decode note below: identical repeat calls and bare
     # block_until_ready can both under-report on remote backends)
@@ -314,11 +321,33 @@ def main():
                 os.path.dirname(os.path.abspath(__file__)), "tools",
                 "bench_e2e.py")})
             detail["e2e"] = {k: ee[k] for k in
-                             ("e2e_sec_per_video", "encode_s",
+                             ("e2e_sec_per_video",
+                              "fusion_e2e_sec_per_video", "encode_s",
+                              "bagel_extract_project_s",
+                              "bagel_extract_project_img_s",
                               "denoise_plus_decode_s", "mux_s",
-                              "resolution", "steps")}
+                              "resolution", "steps") if k in ee}
         except Exception as e:  # noqa: BLE001
             detail["e2e"] = {"error": str(e)[:200]}
+
+    if os.environ.get("BENCH_FAST", "1") != "0" and model != "ti2v-5B":
+        # quality-gated fast mode: TaylorSeer threshold 2 (37.1 dB PSNR
+        # vs the exact program at this operating point — see README
+        # quality gates), FULL 50-step schedule actually executed so the
+        # refresh/extrapolate step mix is measured, not extrapolated
+        try:
+            fm = _sub_bench({"BENCH_STEPS": "50", "BENCH_TAYLORSEER": "2",
+                             "BENCH_FLAGSHIP": "0", "BENCH_REF_POINT": "0",
+                             "BENCH_TRAIN": "0", "BENCH_E2E": "0",
+                             "BENCH_FAST": "0", "BENCH_DECODE": "1"})
+            detail["fast_mode"] = {
+                "sec_per_video": fm["value"],
+                "dit_step_ms": fm["detail"]["dit_step_ms"],
+                "taylorseer_threshold": 2,
+                "psnr_gate_db": 37.1,
+            }
+        except Exception as e:  # noqa: BLE001
+            detail["fast_mode"] = {"error": str(e)[:200]}
 
     result = {
         "metric": f"sec_per_video_{h}p{frames}f_50step_{model}",

@@ -43,6 +43,10 @@ def test_bench_main_row_json_contract(tmp_path):
     # decode must have actually run (BENCH_DECODE defaults on)
     assert isinstance(d["vae_decode_s"], float) and d["vae_decode_s"] >= 0
     assert "decode_error" not in d
+    # quality-gated TaylorSeer fast-mode row (BENCH_FAST defaults on):
+    # full 50-step schedule through the TS-enabled chunk program
+    assert d["fast_mode"]["taylorseer_threshold"] == 2
+    assert d["fast_mode"]["sec_per_video"] > 0
 
 
 def test_bench_e2e_json_contract(tmp_path):

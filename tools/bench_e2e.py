@@ -2,12 +2,16 @@
 """Full-pipeline e2e bench: prompt string -> mp4, everything on the clock.
 
 The reference's sec/video contract is the whole inference.py entry
-(inference.py:525-720): tokenizer -> UMT5-XXL encode -> 50-step CFG
-denoise -> causal VAE decode -> mp4 mux. The main bench rows time only
-denoise+decode from a ready context tensor; this row runs the SAME
-library functions the CLI calls (WanTextEncoder.__call__,
+(inference.py:525-720): BAGEL semantic extraction -> ContextProjector
+(the fusion path that REPLACES the UMT5 output, model_pipeline.py:
+1240,1552) / tokenizer -> UMT5-XXL encode (the standalone-Wan context
+path) -> 50-step CFG denoise -> causal VAE decode -> mp4 mux. The main
+bench rows time only denoise+decode from a ready context tensor; this
+row runs the SAME library functions the CLI calls (BagelSemanticExtractor,
+context_projector_forward, WanTextEncoder.__call__,
 WanTI2VPipeline.generate, data/video_io.save_video) end to end at real
-shapes, with the 4.7B-param UMT5-XXL encode itemized.
+shapes, with the 4.7B-param UMT5-XXL encode and the BAGEL
+extract+project stage (text-only and image-conditioned) itemized.
 
 HBM staging on a 16 GB v5e: the XXL encoder (9.4 GB bf16) is built
 first, the prompt+negative pair is encoded and timed, then its buffers
@@ -64,6 +68,70 @@ def main():
     spec = WAN_CONFIGS[model]
     prompt = ("Two anthropomorphic cats in comfy boxing gear and bright "
               "gloves fight intensely on a spotlighted stage.")
+
+    # ---- stage 0: BAGEL semantic extraction + projection (timed) -------
+    # The reference headline entry is the FUSION path: BAGEL context
+    # (model_pipeline.py:1240) -> ContextProjector (:1552) replaces the
+    # UMT5 output. Extraction only touches embed_tokens / SigLIP /
+    # connector — the 7B MoT decode stack never runs (:942-946,
+    # :1003-1018) — so the footprint is ~2 GB at real shape.
+    from univid_tpu.core.config import FusionConfig
+    from univid_tpu.models.bagel.bagel import BagelConfig, init_bagel
+    from univid_tpu.models.fusion.extractor import BagelSemanticExtractor
+    from univid_tpu.models.fusion.projector import (
+        context_projector_forward, init_context_projector)
+    from univid_tpu.models.bagel.siglip import SiglipConfig
+    from univid_tpu.utils.profiling import device_sync
+
+    bcfg = BagelConfig()   # real BAGEL-7B / so400m-980 shapes
+    scfg = SiglipConfig()
+    bshapes = jax.eval_shape(
+        lambda k: init_bagel(k, bcfg, param_dtype=jnp.bfloat16,
+                             init_llm=False), jax.random.PRNGKey(2))
+    bagel_params = zeros_like_tree(bshapes)
+    bagel_params["llm"] = {"embed_tokens": jax.jit(
+        lambda: jnp.zeros((bcfg.llm.vocab_size, bcfg.llm.hidden_size),
+                          jnp.bfloat16))()}
+    from univid_tpu.models.bagel.siglip import init_siglip
+    sshapes = jax.eval_shape(
+        lambda k: init_siglip(k, scfg, param_dtype=jnp.bfloat16),
+        jax.random.PRNGKey(3))
+    sig_params = zeros_like_tree(sshapes)
+    fcfg = FusionConfig(wan_text_dim=spec.dit.text_dim,
+                        wan_text_length=spec.dit.text_len)
+    pshapes = jax.eval_shape(
+        lambda k: init_context_projector(k, fcfg,
+                                         param_dtype=jnp.bfloat16),
+        jax.random.PRNGKey(4))
+    proj_params = zeros_like_tree(pshapes)
+    ex = BagelSemanticExtractor(
+        bagel_params, bcfg, HashTokenizer(vocab_size=151640),
+        siglip_params=sig_params, siglip_cfg=scfg)
+    proj_jit = jax.jit(lambda p, t: context_projector_forward(
+        p, fcfg, t[None], compute_dtype=jnp.bfloat16)[0])
+
+    def _fusion_ctx(text, image=None):
+        return proj_jit(proj_params, ex(text, image))
+
+    device_sync(_fusion_ctx(prompt))  # compile
+    reps = 4
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = _fusion_ctx(prompt + " " + "take%d" % i)
+    device_sync(out)
+    bagel_extract_s = (time.perf_counter() - t0) / reps
+    # image-conditioned (i2v fusion) extraction: the SigLIP tower is the
+    # real cost; frame at the generation resolution
+    frame = jnp.zeros((h, w, 3), jnp.float32)
+    device_sync(_fusion_ctx(prompt, frame))  # compile
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = _fusion_ctx(prompt + " " + "img%d" % i, frame)
+    device_sync(out)
+    bagel_extract_img_s = (time.perf_counter() - t0) / reps
+    del bagel_params, sig_params, proj_params, ex, proj_jit, out
+    import gc
+    gc.collect()
 
     # ---- stage 1: tokenize + UMT5-XXL encode (timed) -------------------
     t5_shapes = jax.eval_shape(
@@ -144,7 +212,13 @@ def main():
 
     print(json.dumps({
         "e2e_sec_per_video": round(encode_s + gen_s + mux_s, 3),
+        # the reference's default (fusion) path: BAGEL context replaces
+        # the UMT5 output, so its e2e swaps encode_s for the extraction
+        "fusion_e2e_sec_per_video": round(
+            bagel_extract_s + gen_s + mux_s, 3),
         "encode_s": round(encode_s, 3),
+        "bagel_extract_project_s": round(bagel_extract_s, 4),
+        "bagel_extract_project_img_s": round(bagel_extract_img_s, 4),
         "denoise_plus_decode_s": round(gen_s, 3),
         "mux_s": round(mux_s, 3),
         "model": model, "resolution": f"{w}x{h}x{frames}f",

@@ -86,10 +86,18 @@ def load_models(args):
     from ..reflection.scorer import Siglip2Scorer
     from ..utils.tokenizers import HashTokenizer, load_tokenizer
 
+    vae_params, vae_cfg = None, None
     if args.model_path and not args.mock_weights:
-        from ..core.checkpoint import load_bagel_checkpoint
+        from ..core.checkpoint import (load_bagel_checkpoint,
+                                       load_flux_ae_checkpoint)
         params, cfg, scfg, sig_params, tokenizer = load_bagel_checkpoint(
             args.model_path)
+        # FLUX image VAE (ae.safetensors ships next to ema.safetensors;
+        # reference load_ae, autoencoder.py:339) — enables the
+        # generation/editing contexts; understanding-only QA runs fine
+        # without it
+        if os.path.isfile(os.path.join(args.model_path, "ae.safetensors")):
+            vae_params, vae_cfg = load_flux_ae_checkpoint(args.model_path)
     else:
         # hermetic smoke configuration (tiny random models)
         llm = Qwen2MoTConfig(vocab_size=4096, hidden_size=64,
@@ -107,6 +115,7 @@ def load_models(args):
 
     inferencer = InterleaveInferencer(
         params, cfg, tokenizer, siglip_params=sig_params, siglip_cfg=scfg,
+        vae_params=vae_params, vae_cfg=vae_cfg,
         compute_dtype=jnp.float32 if args.mock_weights else jnp.bfloat16)
     # pretrained SigLIP2 dual tower when a local checkpoint is given
     # (reference AutoModel path, eval_understanding.py:171-206);

@@ -702,6 +702,75 @@ def load_bagel_checkpoint(model_path: str, dtype=jnp.bfloat16,
     return params, cfg, scfg, sig_params, tokenizer
 
 
+def convert_flux_ae(sd: Dict[str, np.ndarray], cfg, dtype=jnp.float32):
+    """FLUX AutoEncoder state dict (BAGEL ae.safetensors,
+    modeling/autoencoder.py:290-360 naming) -> init_image_vae params."""
+
+    def gn(key):
+        return {"w": jnp.asarray(sd[f"{key}.weight"], dtype),
+                "b": jnp.asarray(sd[f"{key}.bias"], dtype)}
+
+    def res(key):
+        p = {"norm1": gn(f"{key}.norm1"),
+             "conv1": _conv(sd, f"{key}.conv1", dtype),
+             "norm2": gn(f"{key}.norm2"),
+             "conv2": _conv(sd, f"{key}.conv2", dtype)}
+        if f"{key}.nin_shortcut.weight" in sd:
+            p["shortcut"] = _conv(sd, f"{key}.nin_shortcut", dtype)
+        return p
+
+    def attn(key):
+        return {"norm": gn(f"{key}.norm"),
+                "q": _conv(sd, f"{key}.q", dtype),
+                "k": _conv(sd, f"{key}.k", dtype),
+                "v": _conv(sd, f"{key}.v", dtype),
+                "proj": _conv(sd, f"{key}.proj_out", dtype)}
+
+    n_levels = len(cfg.ch_mult)
+    enc = {"conv_in": _conv(sd, "encoder.conv_in", dtype)}
+    for i in range(n_levels):
+        level = {}
+        for j in range(cfg.num_res_blocks):
+            level[f"res{j}"] = res(f"encoder.down.{i}.block.{j}")
+        if i != n_levels - 1:
+            level["down"] = _conv(sd, f"encoder.down.{i}.downsample.conv",
+                                  dtype)
+        enc[f"down{i}"] = level
+    enc["mid_res1"] = res("encoder.mid.block_1")
+    enc["mid_attn"] = attn("encoder.mid.attn_1")
+    enc["mid_res2"] = res("encoder.mid.block_2")
+    enc["norm_out"] = gn("encoder.norm_out")
+    enc["conv_out"] = _conv(sd, "encoder.conv_out", dtype)
+
+    dec = {"conv_in": _conv(sd, "decoder.conv_in", dtype)}
+    dec["mid_res1"] = res("decoder.mid.block_1")
+    dec["mid_attn"] = attn("decoder.mid.attn_1")
+    dec["mid_res2"] = res("decoder.mid.block_2")
+    for i in range(n_levels):
+        level = {}
+        for j in range(cfg.num_res_blocks + 1):
+            level[f"res{j}"] = res(f"decoder.up.{i}.block.{j}")
+        if i != 0:
+            level["up"] = _conv(sd, f"decoder.up.{i}.upsample.conv", dtype)
+        dec[f"up{i}"] = level
+    dec["norm_out"] = gn("decoder.norm_out")
+    dec["conv_out"] = _conv(sd, "decoder.conv_out", dtype)
+    return {"encoder": enc, "decoder": dec}
+
+
+def load_flux_ae_checkpoint(path: str, cfg=None, dtype=jnp.float32):
+    """BAGEL ships the FLUX image VAE as ae.safetensors next to
+    ema.safetensors (reference load_ae, autoencoder.py:339-360; wired at
+    eval_understanding.py:474). -> (params, cfg)."""
+    from ..models.bagel.autoencoder import ImageVAEConfig
+    if cfg is None:
+        cfg = ImageVAEConfig()
+    if os.path.isdir(path):
+        path = os.path.join(path, "ae.safetensors")
+    sd = load_state_dict(path)
+    return convert_flux_ae(sd, cfg, dtype), cfg
+
+
 def convert_siglip2_text(sd, cfg, dtype=jnp.float32,
                          prefix: str = "text_model"):
     """HF SiglipTextTransformer -> scorer text-tower params

@@ -50,6 +50,14 @@ def main():
     from univid_tpu.models.sam2 import Sam2Config
     entries["sam2_hiera_large"] = M.sam2_manifest(Sam2Config())
 
+    # FLUX.1-Kontext editor (animate preprocess canonical-pose editing,
+    # process_pipepline.py:36-37): BFL transformer + HF text encoders
+    from univid_tpu.models.flux import FluxConfig, ClipTextConfig
+    from univid_tpu.pipelines.kontext import FLUX_T5_CONFIG
+    entries["flux1_kontext_dev"] = M.flux_transformer_manifest(FluxConfig())
+    entries["flux_t5_v1_1_xxl"] = M.t5_hf_manifest(FLUX_T5_CONFIG)
+    entries["flux_clip_l_text"] = M.clip_text_manifest(ClipTextConfig())
+
     for name, man in entries.items():
         path = os.path.join(out_dir, f"{name}.json")
         M.save_manifest(path, man)

@@ -51,7 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_flux", action="store_true",
                    help="FLUX-Kontext canonical-pose editing before "
                         "bone-ratio estimation (retarget mode only; "
-                        "needs an injected edit_fn or --mock_detectors)")
+                        "uses the in-repo TPU editor from "
+                        "<ckpt_path>/flux, an injected edit_fn, or "
+                        "--mock_detectors)")
     return p
 
 
@@ -133,11 +135,23 @@ def main(argv=None, pose_fn=None, mask_fn=None, edit_fn=None):
             "hermetic chain, or call main(argv, pose_fn=..., "
             "mask_fn=...) with custom detector callables")
 
+    if args.use_flux and edit_fn is None and args.ckpt_path:
+        # in-repo TPU FLUX-Kontext editor (pipelines/kontext.py);
+        # published layout: ckpt_path/flux/flux1-kontext-dev.safetensors
+        # + ae.safetensors + text_encoder(_2)/ + tokenizer(_2)/
+        flux_dir = os.path.join(args.ckpt_path, "flux")
+        if os.path.exists(os.path.join(flux_dir,
+                                       "flux1-kontext-dev.safetensors")):
+            from ..pipelines.kontext import make_edit_fn
+            edit_fn = make_edit_fn(flux_dir)
     if args.use_flux and edit_fn is None:
         raise SystemExit(
-            "--use_flux needs an injected edit_fn (FLUX-Kontext is an"
-            " external torch model): call main(argv, edit_fn=...) or"
-            " use --mock_detectors for the hermetic chain")
+            "--use_flux needs the Kontext editor: put the published "
+            "checkpoint under <ckpt_path>/flux/ (flux1-kontext-dev"
+            ".safetensors, ae.safetensors, text_encoder/, "
+            "text_encoder_2/, tokenizer/, tokenizer_2/), call "
+            "main(argv, edit_fn=...), or use --mock_detectors for the "
+            "hermetic chain")
     pipe = AnimatePreprocessPipeline(
         pose_fn, mask_fn,
         edit_fn=edit_fn if args.use_flux else None)

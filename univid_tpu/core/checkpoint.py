@@ -1119,3 +1119,177 @@ def load_sam2_checkpoint(path: str, cfg=None, dtype=jnp.float32,
         sd, lambda s: convert_sam2(s, cfg, dtype),
         ignore=("sam_prompt_encoder.mask_downscaling.",), strict=strict)
     return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# FLUX.1-Kontext (transformer + HF text encoders)
+# ---------------------------------------------------------------------------
+
+
+def convert_flux_transformer(sd: Dict[str, np.ndarray], cfg,
+                             dtype=jnp.bfloat16):
+    """BFL flux1-kontext-dev.safetensors -> models.flux params.
+
+    The reference drives this editor through diffusers
+    (process_pipepline.py:36-37); we ingest the BFL single-file layout
+    (img_in/txt_in/time_in/vector_in/guidance_in, double_blocks.{i}.
+    {img,txt}_{mod,attn,mlp}, single_blocks.{i}.linear1/linear2/norm/
+    modulation, final_layer) with double/single blocks stacked on a
+    leading depth axis for the scan drivers."""
+
+    def mlp_embed(base):
+        return {"in_layer": _lin(sd, f"{base}.in_layer", dtype),
+                "out_layer": _lin(sd, f"{base}.out_layer", dtype)}
+
+    params = {
+        "img_in": _lin(sd, "img_in", dtype),
+        "txt_in": _lin(sd, "txt_in", dtype),
+        "time_in": mlp_embed("time_in"),
+        "vector_in": mlp_embed("vector_in"),
+        "final_layer": {
+            "linear": _lin(sd, "final_layer.linear", dtype),
+            "adaLN": _lin(sd, "final_layer.adaLN_modulation.1", dtype),
+        },
+    }
+    if cfg.guidance_embed:
+        params["guidance_in"] = mlp_embed("guidance_in")
+
+    def stream(base):
+        return {
+            "mod": _lin(sd, f"{base}_mod.lin", dtype),
+            "qkv": _lin(sd, f"{base}_attn.qkv", dtype),
+            "norm_q": jnp.asarray(
+                sd[f"{base}_attn.norm.query_norm.scale"], dtype),
+            "norm_k": jnp.asarray(
+                sd[f"{base}_attn.norm.key_norm.scale"], dtype),
+            "proj": _lin(sd, f"{base}_attn.proj", dtype),
+            "mlp": {"fc0": _lin(sd, f"{base}_mlp.0", dtype),
+                    "fc1": _lin(sd, f"{base}_mlp.2", dtype)},
+        }
+
+    params["double_blocks"] = _stack([
+        {"img": stream(f"double_blocks.{i}.img"),
+         "txt": stream(f"double_blocks.{i}.txt")}
+        for i in range(cfg.depth_double)])
+    params["single_blocks"] = _stack([
+        {
+            "mod": _lin(sd, f"single_blocks.{i}.modulation.lin", dtype),
+            "linear1": _lin(sd, f"single_blocks.{i}.linear1", dtype),
+            "norm_q": jnp.asarray(
+                sd[f"single_blocks.{i}.norm.query_norm.scale"], dtype),
+            "norm_k": jnp.asarray(
+                sd[f"single_blocks.{i}.norm.key_norm.scale"], dtype),
+            "linear2": _lin(sd, f"single_blocks.{i}.linear2", dtype),
+        }
+        for i in range(cfg.depth_single)])
+    return params
+
+
+def convert_t5_hf(sd: Dict[str, np.ndarray], cfg, dtype=jnp.bfloat16):
+    """HF T5EncoderModel layout (google/t5-v1_1-xxl, FLUX's
+    text_encoder_2: shared.weight + encoder.block.{i}.layer.{0,1})
+    -> models.wan.t5 params (shared_pos: layer-0 relative-position
+    table only)."""
+    embed_key = ("shared.weight" if "shared.weight" in sd
+                 else "encoder.embed_tokens.weight")
+    params = {
+        "token_embedding": jnp.asarray(sd[embed_key], dtype),
+        "norm": jnp.asarray(sd["encoder.final_layer_norm.weight"], dtype),
+        "blocks": {},
+    }
+    for i in range(cfg.num_layers):
+        b = f"encoder.block.{i}"
+        blk = {
+            "norm1": jnp.asarray(sd[f"{b}.layer.0.layer_norm.weight"],
+                                 dtype),
+            "attn": {k: {"w": jnp.asarray(
+                sd[f"{b}.layer.0.SelfAttention.{k}.weight"].T, dtype)}
+                for k in "qkvo"},
+            "norm2": jnp.asarray(sd[f"{b}.layer.1.layer_norm.weight"],
+                                 dtype),
+            "ffn": {
+                # HF gated act: act(wi_0) * wi_1
+                "gate": {"w": jnp.asarray(
+                    sd[f"{b}.layer.1.DenseReluDense.wi_0.weight"].T,
+                    dtype)},
+                "fc1": {"w": jnp.asarray(
+                    sd[f"{b}.layer.1.DenseReluDense.wi_1.weight"].T,
+                    dtype)},
+                "fc2": {"w": jnp.asarray(
+                    sd[f"{b}.layer.1.DenseReluDense.wo.weight"].T,
+                    dtype)},
+            },
+        }
+        if not cfg.shared_pos or i == 0:
+            blk["pos_embedding"] = jnp.asarray(
+                sd[f"{b}.layer.0.SelfAttention"
+                   ".relative_attention_bias.weight"], dtype)
+        params["blocks"][str(i)] = blk
+    return params
+
+
+def convert_clip_text(sd: Dict[str, np.ndarray], cfg, dtype=jnp.float32):
+    """HF CLIPTextModel layout (openai/clip-vit-large-patch14, FLUX's
+    text_encoder) -> models.flux.clip_text params (stacked blocks)."""
+    p = "text_model"
+
+    def ln(key):
+        return {"w": jnp.asarray(sd[f"{key}.weight"], dtype),
+                "b": jnp.asarray(sd[f"{key}.bias"], dtype)}
+
+    blocks = []
+    for i in range(cfg.num_layers):
+        b = f"{p}.encoder.layers.{i}"
+        blocks.append({
+            "ln1": ln(f"{b}.layer_norm1"),
+            "ln2": ln(f"{b}.layer_norm2"),
+            "attn": {
+                "q": _lin(sd, f"{b}.self_attn.q_proj", dtype),
+                "k": _lin(sd, f"{b}.self_attn.k_proj", dtype),
+                "v": _lin(sd, f"{b}.self_attn.v_proj", dtype),
+                "o": _lin(sd, f"{b}.self_attn.out_proj", dtype),
+            },
+            "mlp": {"fc0": _lin(sd, f"{b}.mlp.fc1", dtype),
+                    "fc1": _lin(sd, f"{b}.mlp.fc2", dtype)},
+        })
+    return {
+        "token_embedding": jnp.asarray(
+            sd[f"{p}.embeddings.token_embedding.weight"], dtype),
+        "position_embedding": jnp.asarray(
+            sd[f"{p}.embeddings.position_embedding.weight"], dtype),
+        "final_norm": ln(f"{p}.final_layer_norm"),
+        "blocks": _stack(blocks),
+    }
+
+
+def load_kontext_checkpoint(flux_dir: str, dtype=jnp.bfloat16,
+                            strict: bool = True):
+    """Audited ingestion of the full Kontext editor directory
+    (transformer + VAE + both text encoders); returns the param dicts
+    the pipelines.kontext constructor consumes."""
+    from ..models.flux import FluxConfig
+    from ..models.bagel.autoencoder import ImageVAEConfig
+    from ..pipelines.kontext import FLUX_T5_CONFIG
+    from ..models.flux.clip_text import ClipTextConfig
+    from .manifest import audited
+
+    flux_cfg, vae_cfg = FluxConfig(), ImageVAEConfig()
+    t5_cfg, clip_cfg = FLUX_T5_CONFIG, ClipTextConfig()
+    sd = load_state_dict(
+        os.path.join(flux_dir, "flux1-kontext-dev.safetensors"))
+    flux_params, _ = audited(
+        sd, lambda s: convert_flux_transformer(s, flux_cfg, dtype),
+        strict=strict)
+    del sd
+    vae_params, _ = load_flux_ae_checkpoint(
+        os.path.join(flux_dir, "ae.safetensors"), vae_cfg)
+    t5_params, _ = audited(
+        load_state_dict(os.path.join(flux_dir, "text_encoder_2")),
+        lambda s: convert_t5_hf(s, t5_cfg, dtype),
+        ignore=("encoder.embed_tokens.weight",), strict=strict)
+    clip_params, _ = audited(
+        load_state_dict(os.path.join(flux_dir, "text_encoder")),
+        lambda s: convert_clip_text(s, clip_cfg, dtype),
+        ignore=("text_model.embeddings.position_ids",), strict=strict)
+    return (flux_params, flux_cfg, vae_params, vae_cfg, t5_params,
+            t5_cfg, clip_params, clip_cfg)

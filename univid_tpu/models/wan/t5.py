@@ -86,9 +86,6 @@ def init_t5_encoder(key, cfg: T5Config, param_dtype=jnp.float32):
                 "o": {"w": jax.random.normal(next(k), (da, d), param_dtype)
                       * (nh * da) ** -0.5},
             },
-            "pos_embedding": jax.random.normal(
-                next(k), (cfg.num_buckets, nh), param_dtype)
-            * (2 * cfg.num_buckets * nh) ** -0.5,
             "norm2": jnp.ones((d,), param_dtype),
             "ffn": {
                 "gate": {"w": jax.random.normal(next(k), (d, dff),
@@ -99,6 +96,14 @@ def init_t5_encoder(key, cfg: T5Config, param_dtype=jnp.float32):
                                                param_dtype) * dff ** -0.5},
             },
         }
+        # t5-v1.1 (shared_pos=True, FLUX's text_encoder_2) keeps ONE
+        # relative-position table on the first layer; umt5 has one per
+        # layer (reference t5.py:456-469 shared_pos switch)
+        if not cfg.shared_pos or i == 0:
+            params["blocks"][str(i)]["pos_embedding"] = (
+                jax.random.normal(next(k), (cfg.num_buckets, nh),
+                                  param_dtype)
+                * (2 * cfg.num_buckets * nh) ** -0.5)
     return params
 
 
@@ -146,10 +151,16 @@ def t5_encode(params, cfg: T5Config, ids: jnp.ndarray,
     buckets = jnp.asarray(relative_position_buckets(
         l, l, cfg.num_buckets, cfg.rel_pos_max_dist))
     x = params["token_embedding"][ids].astype(compute_dtype)
+    shared_bias = None
+    if cfg.shared_pos:
+        # t5-v1.1: layer-0 table reused by every layer
+        shared_bias = params["blocks"]["0"]["pos_embedding"] \
+            .astype(jnp.float32)[buckets].transpose(2, 0, 1)
     for i in range(cfg.num_layers):
         bp = params["blocks"][str(i)]
         # per-layer position bias (umt5 shared_pos=False): [N, L, L]
-        bias = bp["pos_embedding"].astype(jnp.float32)[buckets] \
+        bias = shared_bias if shared_bias is not None else \
+            bp["pos_embedding"].astype(jnp.float32)[buckets] \
             .transpose(2, 0, 1)
         y = nn.rms_norm(x, bp["norm1"].astype(compute_dtype), eps=1e-6)
         x = x + _t5_attention(bp["attn"], y, bias, mask, cfg.num_heads,

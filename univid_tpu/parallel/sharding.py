@@ -67,6 +67,33 @@ def bagel_llm_param_sharding_rules() -> List[Tuple[str, P]]:
     ]
 
 
+def flux_param_sharding_rules() -> List[Tuple[str, P]]:
+    """Rules for the FLUX.1-Kontext transformer (models/flux/kontext.py
+    layout; 12B in bf16 ~24 GB — needs fsdp even on v5p). Double and
+    single blocks are stacked with a leading [depth] axis; qkv/linear1
+    outputs and mlp hidden are head/ffn-structured (tp), the model dim
+    shards over fsdp."""
+    return [
+        (r"double_blocks/(img|txt)/(qkv|mod)/w$",
+         P(None, AXIS_FSDP, AXIS_TP)),
+        (r"double_blocks/(img|txt)/(qkv|mod)/b$", P(None, AXIS_TP)),
+        (r"double_blocks/(img|txt)/proj/w$",
+         P(None, AXIS_TP, AXIS_FSDP)),
+        (r"double_blocks/(img|txt)/mlp/fc0/w$",
+         P(None, AXIS_FSDP, AXIS_TP)),
+        (r"double_blocks/(img|txt)/mlp/fc0/b$", P(None, AXIS_TP)),
+        (r"double_blocks/(img|txt)/mlp/fc1/w$",
+         P(None, AXIS_TP, AXIS_FSDP)),
+        (r"single_blocks/(linear1|mod)/w$", P(None, AXIS_FSDP, AXIS_TP)),
+        (r"single_blocks/(linear1|mod)/b$", P(None, AXIS_TP)),
+        (r"single_blocks/linear2/w$", P(None, AXIS_TP, AXIS_FSDP)),
+        (r"(img_in|txt_in)/w$", P(None, AXIS_FSDP)),
+        (r"(time_in|vector_in|guidance_in)/(in|out)_layer/w$",
+         P(None, AXIS_FSDP)),
+        (r"final_layer/(linear|adaLN)/w$", P(AXIS_FSDP, None)),
+    ]
+
+
 def t5_param_sharding_rules() -> List[Tuple[str, P]]:
     """Rules for the UMT5-XXL encoder (models/wan/t5.py layout) — the
     torch reference FSDP-wraps T5 too (textimage2video.py:87-91)."""

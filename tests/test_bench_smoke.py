@@ -61,3 +61,13 @@ def test_bench_e2e_json_contract(tmp_path):
     assert r["steps"] == 2 and r["resolution"] == "64x64x5f"
     # the mp4 must exist and be non-trivial (the mux stage really ran)
     assert mp4.exists() and mp4.stat().st_size > 500
+
+
+def test_bench_kontext_json_contract(tmp_path):
+    r = _run(os.path.join("tools", "bench_kontext.py"), {
+        "KONTEXT_TINY": "1", "KONTEXT_SIZE": "64", "KONTEXT_STEPS": "2",
+    }, tmp_path)
+    assert r["metric"].startswith("kontext_edit_s_64x64")
+    assert r["value"] > 0 and r["unit"] == "s"
+    d = r["detail"]
+    assert d["steps"] == 2 and d["tokens"] > 0 and d["int8"] is True

@@ -230,3 +230,61 @@ def test_qwen2_mot_gen_mode_expert_routing_matches_reference(navit):
         compute_dtype=jnp.bfloat16)
     diff = np.abs(np.asarray(got_b) - np.asarray(got)).max(axis=-1)
     assert diff[vae_rows].max() > 1e-3
+
+
+def test_siglip_navit_matches_reference(navit):
+    """Packed NaViT tower vs the reference's own siglip_navit.py: two
+    variable-size images in one packed sequence (cu_seqlens), conv->
+    linear patch embedding, learned 2D-flattened position ids."""
+    import torch
+    from univid_tpu.core.checkpoint import convert_siglip
+    from univid_tpu.models.bagel.siglip import (SiglipConfig, init_siglip,
+                                                image_to_patches,
+                                                siglip_forward)
+
+    sn = importlib.import_module("modeling.bagel.siglip_navit")
+    ref_cfg = sn.SiglipVisionConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_channels=3, image_size=8,
+        patch_size=2, rope=False)
+    torch.manual_seed(4)
+    ref = sn.SiglipVisionModel(ref_cfg).eval()
+    sd = {k: v.detach().float().numpy()
+          for k, v in ref.state_dict().items()}  # conv-form checkpoint
+    # the BAGEL loader linearizes the conv patch embed before packed
+    # inference (siglip_navit.py convert_conv2d_to_linear)
+    ref.vision_model.embeddings.convert_conv2d_to_linear(ref_cfg)
+    ref = ref.to(torch.bfloat16)  # reference deployment dtype
+
+    cfg = SiglipConfig(hidden_size=64, intermediate_size=128,
+                       num_layers=2, num_heads=4, patch_size=2,
+                       image_size=8, use_rope=False)
+    params = convert_siglip(sd, cfg, dtype=jnp.float32)
+
+    rng = np.random.RandomState(5)
+    nps = cfg.num_patches_per_side
+    imgs = [rng.normal(size=(4, 6, 3)).astype(np.float32),
+            rng.normal(size=(6, 4, 3)).astype(np.float32)]
+    patches, pos_ids, segs = [], [], []
+    for si, im in enumerate(imgs):
+        gh, gw = im.shape[0] // 2, im.shape[1] // 2
+        patches.append(np.asarray(image_to_patches(jnp.asarray(im), 2)))
+        ii, jj = np.meshgrid(np.arange(gh), np.arange(gw), indexing="ij")
+        pos_ids.append((ii * nps + jj).ravel())
+        segs.append(np.full(gh * gw, si))
+    packed = np.concatenate(patches)
+    pos = np.concatenate(pos_ids).astype(np.int64)
+    seg = np.concatenate(segs).astype(np.int32)
+    lens = [p.shape[0] for p in patches]
+    cu = torch.tensor(np.concatenate([[0], np.cumsum(lens)]),
+                      dtype=torch.int32)
+
+    with torch.no_grad():
+        want = ref(torch.from_numpy(packed).to(torch.bfloat16),
+                   torch.from_numpy(pos), cu,
+                   max_seqlen=max(lens)).float().numpy()
+
+    got = siglip_forward(params, cfg, jnp.asarray(packed),
+                         jnp.asarray(pos), segment_ids=jnp.asarray(seg),
+                         compute_dtype=jnp.bfloat16)
+    _assert_close(got, want, "siglip navit packed features")

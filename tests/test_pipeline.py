@@ -179,3 +179,21 @@ def test_chunked_dispatch_matches_single(pipe):
         type(pipe)._denoise_fn.cache_clear()
     np.testing.assert_array_equal(whole, chunked)
     np.testing.assert_array_equal(whole_ts, chunk_ts)
+
+
+def test_output_u8_matches_host_conversion(pipe):
+    """output_u8 fuses save_video's u8 formula into the decode program;
+    device u8 frames must equal the host-converted float frames."""
+    spec = pipe.spec
+    ctx, nctx = _ctx(spec, 0), _ctx(spec, 1)
+    vf = np.asarray(pipe.generate(ctx, nctx, size=(32, 32), frame_num=5,
+                                  sampling_steps=2, seed=3))
+    v8 = np.asarray(pipe.generate(ctx, nctx, size=(32, 32), frame_num=5,
+                                  sampling_steps=2, seed=3,
+                                  output_u8=True))
+    assert v8.dtype == np.uint8 and v8.shape == vf.shape
+    want = ((np.clip(vf, -1, 1) + 1) * 127.5).round().astype(np.uint8)
+    # float->u8 rounding at the exact .5 boundary may differ by 1 LSB
+    # between XLA and numpy; everything else must be identical
+    diff = np.abs(v8.astype(int) - want.astype(int))
+    assert diff.max() <= 1 and (diff > 0).mean() < 1e-3

@@ -186,7 +186,7 @@ def main():
     pipe = WanTI2VPipeline(spec, dit_params, vae_params, policy=policy)
 
     kw = dict(size=(w, h), frame_num=frames, sampling_steps=steps,
-              seed=0)
+              seed=0, output_u8=True)  # u8 fused into decode: 4x less D2H
     # compile pass of exactly ONE full dispatch chunk: the chunk jit
     # program is keyed without the step count (ti2v._chunk_progs), so
     # this warmup compiles the same executable the 50-step schedule
@@ -200,14 +200,13 @@ def main():
     del warm
     t0 = time.perf_counter()
     video = pipe.generate(jnp.asarray(ctx), jnp.asarray(ctx_null), **kw)
-    video = np.asarray(video)
+    video = np.asarray(video)  # u8 frames (output_u8): 97 MB, not 390
     gen_s = time.perf_counter() - t0
 
     # ---- stage 3: mp4 mux (timed) --------------------------------------
     t0 = time.perf_counter()
-    u8 = ((np.clip(video, -1, 1) + 1) * 127.5).astype(np.uint8)
     out = os.environ.get("E2E_OUT", "/tmp/bench_e2e.mp4")
-    save_video(u8, out, fps=int(spec.generation.fps))
+    save_video(video, out, fps=int(spec.generation.fps))
     mux_s = time.perf_counter() - t0
 
     print(json.dumps({

@@ -440,7 +440,9 @@ def main(argv=None):
             size=size, frame_num=frames, shift=args.shift,
             sample_solver=args.solver, sampling_steps=args.steps,
             guide_scale=args.guidance, seed=args.seed,
-            taylorseer_threshold=args.taylorseer)
+            taylorseer_threshold=args.taylorseer,
+            # u8 conversion fused into the decode program: 4x less D2H
+            output_u8=True)
         t0 = time.time()
         with trace("generate"):
             if fusion is not None:

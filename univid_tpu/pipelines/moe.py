@@ -209,10 +209,12 @@ class WanMoEPipeline:
         tma: Optional[TMAConfig] = None,
         decode: bool = True,
         taylorseer_threshold: int = 0,
+        output_u8: bool = False,
     ):
         """Video [T, H, W, 3] in [-1, 1] (or latent when decode=False).
         guide_scale may be (low_noise, high_noise) like the reference
-        (image2video.py:257-258)."""
+        (image2video.py:257-258). output_u8 fuses the mp4-ready u8
+        conversion into the decode program (4x less D2H; see ti2v)."""
         if taylorseer_threshold > 0:
             raise NotImplementedError(
                 "TaylorSeer step caching is wired for the TI2V pipeline; "
@@ -257,10 +259,18 @@ class WanMoEPipeline:
                 context_null[None], y)
         if not decode:
             return x0
-        video = self._decode_jit()(self.vae_params, x0)
+        video = self._decode_jit(output_u8)(self.vae_params, x0)
         return video[0]
 
-    @functools.lru_cache(maxsize=1)
-    def _decode_jit(self):
+    @functools.lru_cache(maxsize=2)
+    def _decode_jit(self, output_u8: bool = False):
         vae_cfg = self.spec.vae
-        return jax.jit(lambda vp, z: vae_decode(vp, vae_cfg, z))
+
+        def run(vp, z):
+            v = vae_decode(vp, vae_cfg, z)
+            if output_u8:
+                v = jnp.round((jnp.clip(v, -1.0, 1.0) + 1.0) * 127.5) \
+                    .astype(jnp.uint8)
+            return v
+
+        return jax.jit(run)

@@ -87,7 +87,9 @@ def sweep(name, b, l, n, d, iters):
             # isolates the mask predicate's VPU cost
             kv_len = jnp.full((b,), l, jnp.int32) if use_kvlen else None
             fn = jax.jit(functools.partial(
-                attention, block_q=bq, block_k=bk, kv_len=kv_len))
+                attention, block_q=bq, block_k=bk, kv_len=kv_len,
+                softmax_bf16=os.environ.get("ATTN_BF16_SOFTMAX",
+                                            "0") == "1"))
             try:
                 dt = bench(fn, q, k, v, iters=iters)
             except Exception as e:  # noqa: BLE001

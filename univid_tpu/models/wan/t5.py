@@ -86,6 +86,12 @@ def init_t5_encoder(key, cfg: T5Config, param_dtype=jnp.float32):
                 "o": {"w": jax.random.normal(next(k), (da, d), param_dtype)
                       * (nh * da) ** -0.5},
             },
+            # pos key drawn HERE unconditionally to keep the per-leaf
+            # key sequence identical to the original umt5 init (pinned
+            # by tests/goldens/t5_out.npz)
+            "pos_embedding": (jax.random.normal(
+                next(k), (cfg.num_buckets, nh), param_dtype)
+                * (2 * cfg.num_buckets * nh) ** -0.5),
             "norm2": jnp.ones((d,), param_dtype),
             "ffn": {
                 "gate": {"w": jax.random.normal(next(k), (d, dff),
@@ -97,13 +103,10 @@ def init_t5_encoder(key, cfg: T5Config, param_dtype=jnp.float32):
             },
         }
         # t5-v1.1 (shared_pos=True, FLUX's text_encoder_2) keeps ONE
-        # relative-position table on the first layer; umt5 has one per
+        # relative-position table, on the first layer; umt5 has one per
         # layer (reference t5.py:456-469 shared_pos switch)
-        if not cfg.shared_pos or i == 0:
-            params["blocks"][str(i)]["pos_embedding"] = (
-                jax.random.normal(next(k), (cfg.num_buckets, nh),
-                                  param_dtype)
-                * (2 * cfg.num_buckets * nh) ** -0.5)
+        if cfg.shared_pos and i > 0:
+            del params["blocks"][str(i)]["pos_embedding"]
     return params
 
 

@@ -108,6 +108,17 @@ class KontextPipeline:
         self.clip_tokenizer = clip_tokenizer
         self.policy = policy
         self._denoise_cache = {}
+        # jitted stage programs built ONCE (a fresh jax.jit(partial(...))
+        # per call would re-trace on every edit)
+        self._t5_jit = jax.jit(functools.partial(
+            encode_padded, cfg=self.t5_cfg,
+            compute_dtype=self.policy.compute_dtype))
+        self._clip_jit = jax.jit(functools.partial(
+            clip_text_encode, cfg=self.clip_cfg))
+        self._vae_enc_jit = jax.jit(functools.partial(
+            image_vae_encode, cfg=self.vae_cfg))
+        self._vae_dec_jit = jax.jit(functools.partial(
+            image_vae_decode, cfg=self.vae_cfg))
 
     # ------------------------------------------------------------------
     # constructors
@@ -232,17 +243,13 @@ class KontextPipeline:
                       0, self.t5_cfg.vocab_size - 1)
         lens = np.minimum(np.asarray(lens, np.int32),
                           self.t5_cfg.text_len)
-        txt = jax.jit(functools.partial(
-            encode_padded, cfg=self.t5_cfg,
-            compute_dtype=self.policy.compute_dtype))(
-                self.t5_params, ids=jnp.asarray(ids),
-                seq_lens=jnp.asarray(lens))
+        txt = self._t5_jit(self.t5_params, ids=jnp.asarray(ids),
+                           seq_lens=jnp.asarray(lens))
         cids, _ = self.clip_tokenizer.batch_encode_padded([prompt])
         cids = np.clip(np.asarray(cids, np.int32)[:, :self.clip_cfg.max_len],
                        0, self.clip_cfg.vocab_size - 1)
-        _, pooled = jax.jit(functools.partial(
-            clip_text_encode, cfg=self.clip_cfg))(
-                self.clip_params, ids=jnp.asarray(cids))
+        _, pooled = self._clip_jit(self.clip_params,
+                                   ids=jnp.asarray(cids))
         return txt, pooled.astype(jnp.float32)
 
     # ------------------------------------------------------------------
@@ -277,9 +284,7 @@ class KontextPipeline:
 
         ds = self.vae_cfg.downsample
         x = (cond.astype(np.float32) / 127.5 - 1.0)[None]
-        z_ref = jax.jit(functools.partial(
-            image_vae_encode, cfg=self.vae_cfg))(
-                self.vae_params, x=jnp.asarray(x))
+        z_ref = self._vae_enc_jit(self.vae_params, x=jnp.asarray(x))
         ref_tokens = pack_latents(z_ref)
         ref_grid = (ch // ds // 2, cw // ds // 2)
 
@@ -296,8 +301,7 @@ class KontextPipeline:
         lat = run(self.flux_params, noise, ref_tokens, txt, pooled,
                   sigmas, float(guidance_scale))
         z = unpack_latents(lat, (gh, gw))
-        img = jax.jit(functools.partial(
-            image_vae_decode, cfg=self.vae_cfg))(self.vae_params, z=z)
+        img = self._vae_dec_jit(self.vae_params, z=z)
         img = np.asarray(img[0], np.float32)
         return np.clip((img + 1.0) * 127.5 + 0.5, 0, 255).astype(np.uint8)
 

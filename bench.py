@@ -111,6 +111,12 @@ def measure(model: str, w: int, h: int, frames: int, steps_measured: int,
                              param_dtype=jnp.bfloat16))
     dit_params = jax.jit(lambda: jax.tree.map(
         lambda s: jnp.zeros(s.shape, s.dtype), dit_shapes))()
+    if os.environ.get("BENCH_INT8", "0") == "1":
+        # int8 W8A8 serving mode: per-block GEMMs run s8 x s8 -> s32 on
+        # the MXU (v5e int8 rate ~2x bf16); quality gate int8_w8a8 in
+        # tools/quality_sweep.py. Timing stays value-independent.
+        from univid_tpu.core.quant import quantize_dit_w8a8
+        dit_params = jax.jit(quantize_dit_w8a8)(dit_params)
     vae_params = None
     if decode:
         # init on HOST: the VAE weights must not occupy HBM during the
@@ -339,7 +345,8 @@ def main():
             fm = _sub_bench({"BENCH_STEPS": "50", "BENCH_TAYLORSEER": "2",
                              "BENCH_FLAGSHIP": "0", "BENCH_REF_POINT": "0",
                              "BENCH_TRAIN": "0", "BENCH_E2E": "0",
-                             "BENCH_FAST": "0", "BENCH_DECODE": "1"})
+                             "BENCH_FAST": "0", "BENCH_INT8_ROW": "0",
+                             "BENCH_DECODE": "1"})
             detail["fast_mode"] = {
                 "sec_per_video": fm["value"],
                 "dit_step_ms": fm["detail"]["dit_step_ms"],
@@ -348,6 +355,21 @@ def main():
             }
         except Exception as e:  # noqa: BLE001
             detail["fast_mode"] = {"error": str(e)[:200]}
+
+    if os.environ.get("BENCH_INT8_ROW", "1") != "0" and model != "ti2v-5B":
+        # int8 W8A8 serving mode (quality gate: int8_w8a8 row of
+        # tools/quality_sweep.py — PSNR vs the exact program)
+        try:
+            i8 = _sub_bench({"BENCH_INT8": "1", "BENCH_FLAGSHIP": "0",
+                             "BENCH_REF_POINT": "0", "BENCH_TRAIN": "0",
+                             "BENCH_E2E": "0", "BENCH_FAST": "0",
+                             "BENCH_INT8_ROW": "0", "BENCH_DECODE": "1"})
+            detail["int8_mode"] = {
+                "sec_per_video": i8["value"],
+                "dit_step_ms": i8["detail"]["dit_step_ms"],
+            }
+        except Exception as e:  # noqa: BLE001
+            detail["int8_mode"] = {"error": str(e)[:200]}
 
     result = {
         "metric": f"sec_per_video_{h}p{frames}f_50step_{model}",

@@ -91,10 +91,11 @@ def main():
 
     pipe = None
 
-    def run(policy, ts_threshold=0):
+    def run(policy, ts_threshold=0, params=None):
         nonlocal pipe
-        pipe = WanTI2VPipeline(spec, dit_params, vae_params,
-                               policy=policy)
+        pipe = WanTI2VPipeline(spec,
+                               dit_params if params is None else params,
+                               vae_params, policy=policy)
         t0 = time.perf_counter()
         lat = np.asarray(pipe.generate(
             ctx, ctx_null, taylorseer_threshold=ts_threshold,
@@ -114,6 +115,13 @@ def main():
     base_lat, base_s = run(DEFAULT_POLICY)
     out["baseline_fp32res_s"] = round(base_s, 1)
     variants["bf16_residual"] = run(BF16_RESIDUAL_POLICY)
+    if os.environ.get("QS_INT8", "1") != "0":
+        # int8 W8A8 serving mode: per-block GEMMs quantized (dynamic
+        # per-token activation scales), embeds/AdaLN/head bf16
+        from univid_tpu.core.quant import quantize_dit_w8a8
+        qdit = jax.jit(quantize_dit_w8a8)(dit_params)
+        variants["int8_w8a8"] = run(BF16_RESIDUAL_POLICY, params=qdit)
+        del qdit
     for t in thresholds:
         variants[f"taylorseer_t{t}"] = run(DEFAULT_POLICY,
                                            ts_threshold=t)

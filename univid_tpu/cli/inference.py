@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "denoise, 43.6 dB PSNR / 2.0%% latent rel err vs "
                         "the fp32-residual default at 832x480x81f/50 "
                         "steps (tools/quality_sweep.py)")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 W8A8 serving mode: quantize the DiT's "
+                        "per-block GEMMs to dynamic-activation int8 "
+                        "(s8 x s8 -> s32 on the MXU; embeds/AdaLN/head "
+                        "stay bf16). Quality gate: int8_w8a8 row of "
+                        "tools/quality_sweep.py")
     p.add_argument("--solver", type=str, default="unipc",
                    choices=["unipc", "dpm++", "dpm++3"])
     # TPU-specific
@@ -176,6 +182,16 @@ def build_pipeline(args):
             dit_params = tuple(merge_lora(p, lora) for p in dit_params)
         else:
             dit_params = merge_lora(dit_params, lora)
+
+    if getattr(args, "int8", False):
+        # int8 W8A8 serving quantization AFTER any LoRA merge (quantize
+        # the weights the model will actually run)
+        from ..core.quant import quantize_dit_w8a8
+        if moe:
+            dit_params = tuple(jax.jit(quantize_dit_w8a8)(p)
+                               for p in dit_params)
+        else:
+            dit_params = jax.jit(quantize_dit_w8a8)(dit_params)
 
     from ..core.dtypes import BF16_RESIDUAL_POLICY, DEFAULT_POLICY
     policy = BF16_RESIDUAL_POLICY if getattr(args, "bf16_residual", False) \

@@ -65,6 +65,11 @@ def linear(p, x, *, compute_dtype=None):
     per-output-channel scale) fuses into the dot's weight read, so HBM
     weight traffic halves vs bf16. Memory-bound paths (AR decode) speed
     up proportionally."""
+    if "qw8" in p:
+        # dynamic-activation int8 (W8A8): runs the dot on the int8 MXU
+        # path (~2x bf16 on v5e) — see core/quant.py
+        from .quant import w8a8_linear
+        return w8a8_linear(p, x, compute_dtype=compute_dtype)
     if "qw" in p:
         dt = compute_dtype or x.dtype
         x = x.astype(dt)

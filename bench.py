@@ -95,6 +95,15 @@ def measure(model: str, w: int, h: int, frames: int, steps_measured: int,
     policy = BF16_RESIDUAL_POLICY \
         if os.environ.get("BENCH_BF16_RESIDUAL", "1") != "0" \
         else DEFAULT_POLICY
+    if os.environ.get("BENCH_BF16_SOFTMAX", "0") == "1":
+        # bf16 flash-softmax chain: measured a ~7% KERNEL SLOWDOWN at the
+        # 1.3B 33k-token shape on v5e (93.7 -> 99.9 ms at (2048,2048)
+        # tiles, fused-rope path, chained-dispatch timing) — the
+        # bf16<->fp32 relayouts around the score tile cost more than the
+        # halved VPU width saves. Kept as an opt-in knob for other
+        # geometries; NOT a default.
+        import dataclasses
+        policy = dataclasses.replace(policy, softmax_bf16=True)
     spec = WAN_CONFIGS[model]
     dck = int(os.environ.get("BENCH_DECODE_CHUNK", "0"))
     if dck > 1:

@@ -56,6 +56,22 @@ def test_fwd_fused_rope_kv_len_lowers():
         q, k, v)
 
 
+def test_fwd_bf16_softmax_fused_rope_lowers():
+    # the --bf16_softmax opt-in knob riding the fused-rope serving path
+    # (measured slower than fp32 at the 1.3B shape, kept for other
+    # geometries — must still lower)
+    q, k, v = _qkv()
+    cos = jnp.ones((512, D // 2), jnp.float32)
+    sin = jnp.zeros((512, D // 2), jnp.float32)
+    tabs = build_fused_rope_tables(cos, sin, D)
+    kv_len = jnp.full((1,), 500, jnp.int32)
+    _lower_tpu(
+        functools.partial(flash_attention_padded, block_q=256, block_k=512,
+                          rope_tables=tabs, kv_len=kv_len,
+                          softmax_bf16=True, interpret=False),
+        q, k, v)
+
+
 def test_fwd_causal_dynamic_offsets_lowers():
     # BAGEL AR decode config: causal + per-batch dynamic q offsets
     q, k, v = _qkv(lq=256, lk=1024)

@@ -115,6 +115,14 @@ def main():
     base_lat, base_s = run(DEFAULT_POLICY)
     out["baseline_fp32res_s"] = round(base_s, 1)
     variants["bf16_residual"] = run(BF16_RESIDUAL_POLICY)
+    if os.environ.get("QS_SOFTMAX", "0") == "1":
+        # bf16 flash-softmax chain on top of the bf16-residual policy —
+        # opt-in gate only: the knob measured ~7% SLOWER at the 1.3B
+        # 33k-token v5e shape (relayouts outweigh the halved VPU width),
+        # so it is not a serving default (core/dtypes.py)
+        import dataclasses
+        variants["bf16_softmax"] = run(dataclasses.replace(
+            BF16_RESIDUAL_POLICY, softmax_bf16=True))
     if os.environ.get("QS_INT8", "1") != "0":
         # int8 W8A8 serving mode: per-block GEMMs quantized (dynamic
         # per-token activation scales), embeds/AdaLN/head bf16

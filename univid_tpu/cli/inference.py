@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "denoise, 43.6 dB PSNR / 2.0%% latent rel err vs "
                         "the fp32-residual default at 832x480x81f/50 "
                         "steps (tools/quality_sweep.py)")
+    p.add_argument("--bf16_softmax", action="store_true",
+                   help="run the flash-kernel softmax chain in bf16 "
+                        "(inference only; measured ~7%% SLOWER than the "
+                        "fp32 chain at the 1.3B 33k-token v5e shape — "
+                        "opt-in for other geometries; gate QS_SOFTMAX=1 "
+                        "in tools/quality_sweep.py)")
     p.add_argument("--int8", action="store_true",
                    help="int8 W8A8 serving mode: quantize the DiT's "
                         "per-block GEMMs to dynamic-activation int8 "
@@ -196,6 +202,9 @@ def build_pipeline(args):
     from ..core.dtypes import BF16_RESIDUAL_POLICY, DEFAULT_POLICY
     policy = BF16_RESIDUAL_POLICY if getattr(args, "bf16_residual", False) \
         else DEFAULT_POLICY
+    if getattr(args, "bf16_softmax", False):
+        import dataclasses
+        policy = dataclasses.replace(policy, softmax_bf16=True)
     if moe:
         from ..pipelines.moe import WanMoEPipeline
         pipe = WanMoEPipeline(spec, dit_params[0], dit_params[1],
@@ -353,6 +362,9 @@ def run_animate(args):
         raise SystemExit("pass --checkpoint_dir or --mock_weights")
 
     policy = BF16_RESIDUAL_POLICY if args.bf16_residual else DEFAULT_POLICY
+    if getattr(args, "bf16_softmax", False):
+        import dataclasses
+        policy = dataclasses.replace(policy, softmax_bf16=True)
     pipe = WanAnimatePipeline(acfg, params, vae_cfg, vae_params,
                               clip_cfg=clip_cfg, clip_params=clip_params,
                               policy=policy, relight_lora=relight)

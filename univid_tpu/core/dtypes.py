@@ -29,6 +29,14 @@ class DTypePolicy:
     time_embed_dtype: jnp.dtype = jnp.float32
     rope_dtype: jnp.dtype = jnp.float32
     solver_dtype: jnp.dtype = jnp.float32
+    # run the flash-kernel softmax chain (max/sub/exp2 over the [bq, bk]
+    # score tile) in bf16 instead of fp32 — inference-only knob (the
+    # training vjp always keeps the fp32 chain, kernels/attention.py:150).
+    # Measured a ~7% kernel SLOWDOWN at the 1.3B 33k-token v5e shape
+    # (the bf16<->fp32 relayouts around the score tile outweigh the
+    # halved VPU width), so this stays opt-in for other geometries and
+    # is never defaulted; rel err vs the fp32 chain ~1.4e-2.
+    softmax_bf16: bool = False
 
 
 DEFAULT_POLICY = DTypePolicy()

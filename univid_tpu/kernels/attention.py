@@ -226,9 +226,12 @@ def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
     if block_k is None:
         if lk >= 4096:
             # r4 v5e sweep (chained-dispatch timing): (2048, 2048)
-            # reaches 69.1% kernel MFU vs 60.9% at (1024, 1024) now that
+            # reaches 69-71% kernel MFU vs 60.9% at (1024, 1024) now that
             # the 64 MiB scoped-vmem limit admits the larger kv tile;
-            # prefer it when it adds no extra padding
+            # prefer it when it adds no extra padding. Wider tiles regress
+            # (measured at the 1.3B 33k-token fused-rope shape):
+            # (1024,4096) 68.3%, (2048,4096)/(4096,2048) ~40% (VMEM
+            # spills), (4096,4096) fails to compile — don't revisit.
             block_k = 2048 if _round_up(lk, 2048) == _round_up(lk, 1024) \
                 else 1024
         else:

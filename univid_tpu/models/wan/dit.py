@@ -278,7 +278,8 @@ def _blocks_and_head(params, cfg: WanDiTConfig, h, e, e0, ctx,
                                      kv_len=self_kv_len)
         else:
             attn = attention(q, k, v, kv_len=self_kv_len,
-                             rope_tables=rope_tabs)
+                             rope_tables=rope_tabs,
+                             softmax_bf16=policy.softmax_bf16)
         # named for the 'attn' remat policy: saving just this tensor
         # (~100 MB/block at 33k tokens) lets the backward skip
         # re-running the flash forward while everything else remats.

@@ -8,7 +8,18 @@ sec/video for the full 50-step sample. North-star baseline: 60 s/video
 (BASELINE.md). Also measures the flagship ti2v-5B at the same 480p x 81f
 operating point (reported under detail.flagship_5B). Prints ONE JSON line.
 
+Budget discipline (round-4 lesson: the driver's wall-clock timeout hit
+with zero output, BENCH_r04.json rc=124/parsed=null): ALL optional rows
+run under a global deadline. BENCH_BUDGET seconds (default 1500) from
+process start; each row is skipped with {"skipped": "budget"} when the
+remaining time can't cover it, subprocess rows get the remaining time as
+their hard timeout, and SIGTERM/SIGALRM flush the partial result JSON
+before exit so a driver kill still captures everything measured so far.
+
 Env knobs:
+  BENCH_BUDGET  global wall-clock budget in seconds (default 1500);
+                rows are priority-ordered headline -> flagship ->
+                ref-point -> train -> e2e -> fast -> int8 -> vqa
   BENCH_STEPS   measured denoise steps (default 5; per-step cost is
                 constant so 50-step time = 10x the 5-step scan)
   BENCH_MODEL   WAN_CONFIGS key (default t2v-1.3B)
@@ -30,7 +41,31 @@ Env knobs:
 
 import json
 import os
+import signal
+import sys
 import time
+
+_T_START = time.time()
+_BUDGET = float(os.environ.get("BENCH_BUDGET", "1500"))
+# Written progressively as rows complete; flushed on SIGTERM/SIGALRM so
+# a driver-side timeout still yields a parseable last-line JSON.
+_RESULT = None
+
+
+def _remaining() -> float:
+    return _BUDGET - (time.time() - _T_START)
+
+
+def _flush_and_exit(signum, frame):  # noqa: ARG001
+    out = _RESULT if _RESULT is not None else {
+        "metric": "sec_per_video_incomplete", "value": -1.0, "unit": "s",
+        "vs_baseline": -1.0,
+        "detail": {"error": "killed before headline row completed",
+                   "elapsed_s": round(time.time() - _T_START, 1)}}
+    out.setdefault("detail", {})["flushed_on_signal"] = int(signum)
+    sys.stdout.write("\n" + json.dumps(out) + "\n")
+    sys.stdout.flush()
+    os._exit(0)
 
 # persistent XLA compile cache (shared with __graft_entry__): the 5B
 # compiles take minutes cold through the TPU tunnel, seconds cached
@@ -232,6 +267,16 @@ def measure(model: str, w: int, h: int, frames: int, steps_measured: int,
 
 
 def main():
+    global _RESULT
+    is_sub = os.environ.get("_BENCH_SUB", "0") == "1"
+    signal.signal(signal.SIGTERM, _flush_and_exit)
+    if not is_sub:
+        # belt-and-braces: if the driver's timeout uses SIGKILL (no
+        # chance to flush), fire our own alarm just inside the budget
+        # so the partial JSON still reaches stdout
+        signal.signal(signal.SIGALRM, _flush_and_exit)
+        signal.alarm(max(int(_BUDGET) - 5, 30))
+
     model = os.environ.get("BENCH_MODEL", "t2v-1.3B")
     steps_measured = int(os.environ.get("BENCH_STEPS", "5"))
     w = int(os.environ.get("BENCH_W", "832"))
@@ -252,15 +297,24 @@ def main():
     }
     if "est_mfu" in r:
         detail["est_mfu"] = r["est_mfu"]
+    _RESULT = {
+        "metric": f"sec_per_video_{h}p{frames}f_50step_{model}",
+        "value": r["sec_per_video"],
+        "unit": "s",
+        "vs_baseline": round(r["sec_per_video"] / 60.0, 3),
+        "detail": detail,
+    }
 
-    def _sub_bench(extra_env: dict, timeout_s: int = 3600):
+    import subprocess
+
+    def _sub_bench(extra_env: dict):
         """Run this script (or a tool) in a fresh process so the parent
         model's HBM is fully released before the 10 GB 5B weights land
-        on the 16 GB v5e; returns the parsed last-line JSON."""
-        import subprocess
-        import sys
+        on the 16 GB v5e; returns the parsed last-line JSON. The child's
+        hard timeout is the remaining global budget."""
         script = extra_env.pop("_SCRIPT", os.path.abspath(__file__))
-        env = dict(os.environ, **extra_env)
+        env = dict(os.environ, **extra_env, _BENCH_SUB="1")
+        timeout_s = max(_remaining() - 15.0, 5.0)
         out = subprocess.run([sys.executable, script], env=env,
                              capture_output=True, text=True,
                              timeout=timeout_s)
@@ -269,151 +323,170 @@ def main():
             raise RuntimeError(
                 f"no output (rc={out.returncode}): "
                 f"{out.stderr.strip()[-300:]}")
-        return json.loads(lines[-1])
+        row = json.loads(lines[-1])
+        if isinstance(row, dict) and \
+                row.get("detail", {}).get("flushed_on_signal"):
+            raise RuntimeError("sub-bench flushed on signal (timeout)")
+        return row
 
-    if os.environ.get("BENCH_FLAGSHIP", "1") != "0" and model != "ti2v-5B":
-        # flagship ti2v-5B at the same 480p x 81f point, decode INCLUDED
+    def _row(name: str, min_need_s: float, fn, enabled: bool = True):
+        """Run one optional bench row under the global budget.
+
+        min_need_s is a warm-cache estimate; rows that can't fit in the
+        remaining budget are recorded as skipped rather than risking a
+        driver-side rc=124 with no output at all (the round-4 failure)."""
+        if not enabled:
+            return
+        if _remaining() < min_need_s:
+            detail[name] = {"skipped": "budget",
+                            "remaining_s": round(_remaining(), 1),
+                            "needed_s": min_need_s}
+            return
         try:
-            f5 = _sub_bench({"BENCH_MODEL": "ti2v-5B",
-                             "BENCH_FLAGSHIP": "0", "BENCH_DECODE": "1",
-                             "BENCH_REF_POINT": "0", "BENCH_TRAIN": "0"})
-            detail["flagship_5B"] = {
-                "sec_per_video": f5["value"],
-                "dit_step_ms": f5["detail"]["dit_step_ms"],
-                "vae_decode_s": f5["detail"]["vae_decode_s"],
-                "params_dit": f5["detail"]["params_dit"],
-                **({"decode_error": f5["detail"]["decode_error"]}
-                   if "decode_error" in f5["detail"] else {}),
-            }
-            if "est_mfu" in f5["detail"]:
-                detail["flagship_5B"]["est_mfu"] = f5["detail"]["est_mfu"]
+            fn()
+        except subprocess.TimeoutExpired:
+            detail[name] = {"skipped": "budget", "child_timeout": True}
         except Exception as e:  # noqa: BLE001
-            detail["flagship_5B"] = {"error": str(e)[:200]}
+            detail[name] = {"error": str(e)[:200]}
 
-    if os.environ.get("BENCH_REF_POINT", "1") != "0" and model != "ti2v-5B":
+    sub_rows = model != "ti2v-5B" and \
+        os.environ.get("BENCH_SUBROWS", "1") != "0"
+
+    def row_flagship():
+        # flagship ti2v-5B at the same 480p x 81f point, decode INCLUDED
+        f5 = _sub_bench({"BENCH_MODEL": "ti2v-5B", "BENCH_SUBROWS": "0",
+                         "BENCH_DECODE": "1"})
+        detail["flagship_5B"] = {
+            "sec_per_video": f5["value"],
+            "dit_step_ms": f5["detail"]["dit_step_ms"],
+            "vae_decode_s": f5["detail"]["vae_decode_s"],
+            "params_dit": f5["detail"]["params_dit"],
+            **({"decode_error": f5["detail"]["decode_error"]}
+               if "decode_error" in f5["detail"] else {}),
+        }
+        if "est_mfu" in f5["detail"]:
+            detail["flagship_5B"]["est_mfu"] = f5["detail"]["est_mfu"]
+
+    def row_ref_point():
         # the reference operating point (BASELINE.md contract:
         # inference.py:48-55): ti2v-5B, 1280x704, 121 frames, 50 UniPC
         # steps, VAE decode included
-        try:
-            rp = _sub_bench({"BENCH_MODEL": "ti2v-5B", "BENCH_W": "1280",
-                             "BENCH_H": "704", "BENCH_FRAMES": "121",
-                             "BENCH_STEPS": os.environ.get(
-                                 "BENCH_REF_STEPS", "3"),
-                             "BENCH_FLAGSHIP": "0", "BENCH_DECODE": "1",
-                             "BENCH_REF_POINT": "0", "BENCH_TRAIN": "0"})
-            detail["ref_point"] = {
-                "resolution": "1280x704x121f",
-                "sec_per_video": rp["value"],
-                "dit_step_ms": rp["detail"]["dit_step_ms"],
-                "vae_decode_s": rp["detail"]["vae_decode_s"],
-                **({"decode_error": rp["detail"]["decode_error"]}
-                   if "decode_error" in rp["detail"] else {}),
-            }
-            if "est_mfu" in rp["detail"]:
-                detail["ref_point"]["est_mfu"] = rp["detail"]["est_mfu"]
-        except Exception as e:  # noqa: BLE001
-            detail["ref_point"] = {"error": str(e)[:200]}
+        rp = _sub_bench({"BENCH_MODEL": "ti2v-5B", "BENCH_W": "1280",
+                         "BENCH_H": "704", "BENCH_FRAMES": "121",
+                         "BENCH_STEPS": os.environ.get(
+                             "BENCH_REF_STEPS", "3"),
+                         "BENCH_SUBROWS": "0", "BENCH_DECODE": "1"})
+        detail["ref_point"] = {
+            "resolution": "1280x704x121f",
+            "sec_per_video": rp["value"],
+            "dit_step_ms": rp["detail"]["dit_step_ms"],
+            "vae_decode_s": rp["detail"]["vae_decode_s"],
+            **({"decode_error": rp["detail"]["decode_error"]}
+               if "decode_error" in rp["detail"] else {}),
+        }
+        if "est_mfu" in rp["detail"]:
+            detail["ref_point"]["est_mfu"] = rp["detail"]["est_mfu"]
 
-    if os.environ.get("BENCH_TRAIN", "1") != "0" and model != "ti2v-5B":
+    def row_train():
         # real-resolution diffusion/LoRA training step (the reference
         # trains through flash-attn at full resolution,
         # model_pipeline.py:2765-3142): 1.3B at 480p x 81f through the
         # Pallas flash-attention backward
-        try:
-            tr = _sub_bench({"_SCRIPT": os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "tools",
-                "bench_train.py"), "BENCH_TRAIN_STEPS": "2"})
-            detail["train_step_ms"] = tr["train_step_ms"]
-            detail["train_resolution"] = tr["resolution"]
-            if "est_mfu" in tr:
-                detail["train_est_mfu"] = tr["est_mfu"]
-        except Exception as e:  # noqa: BLE001
-            detail["train_step_ms"] = {"error": str(e)[:200]}
+        tr = _sub_bench({"_SCRIPT": os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools",
+            "bench_train.py"), "BENCH_TRAIN_STEPS": "2"})
+        detail["train_step_ms"] = tr["train_step_ms"]
+        detail["train_resolution"] = tr["resolution"]
+        if "est_mfu" in tr:
+            detail["train_est_mfu"] = tr["est_mfu"]
 
-    if os.environ.get("BENCH_E2E", "1") != "0" and model != "ti2v-5B":
+    def row_e2e():
         # full-pipeline row (the reference sec/video contract is the
         # whole inference.py:525-720 entry): prompt -> tokenizer ->
         # real-shape UMT5-XXL encode (4.7B, HBM-staged) -> REAL 50-step
         # denoise -> decode -> mp4, encode itemized (tools/bench_e2e.py)
-        try:
-            ee = _sub_bench({"_SCRIPT": os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "tools",
-                "bench_e2e.py")})
-            detail["e2e"] = {k: ee[k] for k in
-                             ("e2e_sec_per_video",
-                              "fusion_e2e_sec_per_video", "encode_s",
-                              "bagel_extract_project_s",
-                              "bagel_extract_project_img_s",
-                              "denoise_plus_decode_s", "mux_s",
-                              "resolution", "steps") if k in ee}
-        except Exception as e:  # noqa: BLE001
-            detail["e2e"] = {"error": str(e)[:200]}
+        ee = _sub_bench({"_SCRIPT": os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools",
+            "bench_e2e.py")})
+        detail["e2e"] = {k: ee[k] for k in
+                         ("e2e_sec_per_video",
+                          "fusion_e2e_sec_per_video", "encode_s",
+                          "bagel_extract_project_s",
+                          "bagel_extract_project_img_s",
+                          "denoise_plus_decode_s", "mux_s",
+                          "resolution", "steps") if k in ee}
 
-    if os.environ.get("BENCH_FAST", "1") != "0" and model != "ti2v-5B":
-        # quality-gated fast mode: TaylorSeer threshold 2 (37.1 dB PSNR
-        # vs the exact program at this operating point — see README
-        # quality gates), FULL 50-step schedule actually executed so the
-        # refresh/extrapolate step mix is measured, not extrapolated
-        try:
-            fm = _sub_bench({"BENCH_STEPS": "50", "BENCH_TAYLORSEER": "2",
-                             "BENCH_FLAGSHIP": "0", "BENCH_REF_POINT": "0",
-                             "BENCH_TRAIN": "0", "BENCH_E2E": "0",
-                             "BENCH_FAST": "0", "BENCH_INT8_ROW": "0",
-                             "BENCH_DECODE": "1"})
-            detail["fast_mode"] = {
-                "sec_per_video": fm["value"],
-                "dit_step_ms": fm["detail"]["dit_step_ms"],
-                "taylorseer_threshold": 2,
-                "psnr_gate_db": 37.1,
-            }
-        except Exception as e:  # noqa: BLE001
-            detail["fast_mode"] = {"error": str(e)[:200]}
+    def row_fast():
+        # quality-gated fast mode: TaylorSeer threshold 2 (PSNR gate in
+        # README quality gates), FULL 50-step schedule actually executed
+        # so the refresh/extrapolate step mix is measured, not
+        # extrapolated
+        fm = _sub_bench({"BENCH_STEPS": "50", "BENCH_TAYLORSEER": "2",
+                         "BENCH_SUBROWS": "0", "BENCH_DECODE": "1"})
+        detail["fast_mode"] = {
+            "sec_per_video": fm["value"],
+            "dit_step_ms": fm["detail"]["dit_step_ms"],
+            "taylorseer_threshold": 2,
+            "psnr_gate_db": 37.1,
+        }
 
-    if os.environ.get("BENCH_INT8_ROW", "1") != "0" and model != "ti2v-5B":
+    def row_int8():
         # int8 W8A8 serving mode (quality gate: int8_w8a8 row of
         # tools/quality_sweep.py — PSNR vs the exact program)
-        try:
-            i8 = _sub_bench({"BENCH_INT8": "1", "BENCH_FLAGSHIP": "0",
-                             "BENCH_REF_POINT": "0", "BENCH_TRAIN": "0",
-                             "BENCH_E2E": "0", "BENCH_FAST": "0",
-                             "BENCH_INT8_ROW": "0", "BENCH_DECODE": "1"})
-            detail["int8_mode"] = {
-                "sec_per_video": i8["value"],
-                "dit_step_ms": i8["detail"]["dit_step_ms"],
-                **({"est_mfu_int8": i8["detail"]["est_mfu"]}
-                   if "est_mfu" in i8["detail"] else {}),
-            }
-        except Exception as e:  # noqa: BLE001
-            detail["int8_mode"] = {"error": str(e)[:200]}
+        i8 = _sub_bench({"BENCH_INT8": "1", "BENCH_SUBROWS": "0",
+                         "BENCH_DECODE": "1"})
+        detail["int8_mode"] = {
+            "sec_per_video": i8["value"],
+            "dit_step_ms": i8["detail"]["dit_step_ms"],
+            **({"est_mfu_int8": i8["detail"]["est_mfu"]}
+               if "est_mfu" in i8["detail"] else {}),
+        }
+
+    def row_int8_5b():
         # flagship ti2v-5B under the same int8 serving mode — only on
         # the real headline run (not tiny CPU smoke configs)
-        if model == "t2v-1.3B":
-            try:
-                i85 = _sub_bench({"BENCH_INT8": "1",
-                                  "BENCH_MODEL": "ti2v-5B",
-                                  "BENCH_FLAGSHIP": "0",
-                                  "BENCH_REF_POINT": "0",
-                                  "BENCH_TRAIN": "0", "BENCH_E2E": "0",
-                                  "BENCH_FAST": "0", "BENCH_INT8_ROW": "0",
-                                  "BENCH_DECODE": "1"})
-                detail.setdefault("int8_mode", {})["flagship_5B"] = {
-                    "sec_per_video": i85["value"],
-                    "dit_step_ms": i85["detail"]["dit_step_ms"],
-                    **({"est_mfu_int8": i85["detail"]["est_mfu"]}
-                       if "est_mfu" in i85["detail"] else {}),
-                }
-            except Exception as e:  # noqa: BLE001
-                detail.setdefault("int8_mode", {})["flagship_5B"] = {
-                    "error": str(e)[:200]}
+        i85 = _sub_bench({"BENCH_INT8": "1", "BENCH_MODEL": "ti2v-5B",
+                          "BENCH_SUBROWS": "0", "BENCH_DECODE": "1"})
+        detail.setdefault("int8_mode", {})["flagship_5B"] = {
+            "sec_per_video": i85["value"],
+            "dit_step_ms": i85["detail"]["dit_step_ms"],
+            **({"est_mfu_int8": i85["detail"]["est_mfu"]}
+               if "est_mfu" in i85["detail"] else {}),
+        }
 
-    result = {
-        "metric": f"sec_per_video_{h}p{frames}f_50step_{model}",
-        "value": r["sec_per_video"],
-        "unit": "s",
-        "vs_baseline": round(r["sec_per_video"] / 60.0, 3),
-        "detail": detail,
-    }
-    print(json.dumps(result))
+    def row_vqa():
+        # reflexion end-to-end: one sec/question number for the whole
+        # video-QA loop (pool decode -> embed -> rank -> caption ->
+        # answer -> judge), tools/bench_qa.py --e2e; BASELINE.md names
+        # VQA clips/sec as a first-class metric
+        qa = _sub_bench({"_SCRIPT": os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools",
+            "bench_qa.py"), "BENCH_QA_E2E": "1"})
+        detail["vqa_e2e"] = {k: qa[k] for k in
+                             ("sec_per_question", "clips_per_sec",
+                              "pool_frames", "rounds", "components")
+                             if k in qa}
+
+    def _on(env_name: str, default: str = "1") -> bool:
+        return os.environ.get(env_name, default) != "0"
+
+    # priority order: each row only runs if the budget still covers its
+    # warm-cache estimate; min_need values are deliberately conservative
+    _row("flagship_5B", 120, row_flagship,
+         sub_rows and _on("BENCH_FLAGSHIP"))
+    _row("ref_point", 240, row_ref_point,
+         sub_rows and _on("BENCH_REF_POINT"))
+    _row("train_step_ms", 150, row_train, sub_rows and _on("BENCH_TRAIN"))
+    _row("e2e", 330, row_e2e, sub_rows and _on("BENCH_E2E"))
+    _row("fast_mode", 280, row_fast, sub_rows and _on("BENCH_FAST"))
+    _row("int8_mode", 100, row_int8, sub_rows and _on("BENCH_INT8_ROW"))
+    _row("int8_5B", 100, row_int8_5b,
+         sub_rows and model == "t2v-1.3B" and _on("BENCH_INT8_ROW"))
+    _row("vqa_e2e", 150, row_vqa, sub_rows and _on(
+        "BENCH_VQA", "1" if model == "t2v-1.3B" else "0"))
+
+    detail["bench_elapsed_s"] = round(time.time() - _T_START, 1)
+    print(json.dumps(_RESULT))
 
 
 if __name__ == "__main__":

@@ -79,8 +79,13 @@ def _tiny_cfg(**kw):
 
 
 @requires_8
-@pytest.mark.parametrize("i2v,pad", [(False, False), (True, True)])
-def test_sp_dit_forward_matches_single_device(i2v, pad):
+@pytest.mark.parametrize("i2v,pad,fused",
+                         [(False, False, False), (True, True, False),
+                          (False, True, True), (True, False, True)])
+def test_sp_dit_forward_matches_single_device(i2v, pad, fused):
+    """fused=True pins the deployment config (VERDICT r4 #4): the
+    in-kernel/fused rope tables applied AFTER the ulysses all-to-all must
+    equal the single-device non-fused per-token rotation."""
     cfg = _tiny_cfg()
     mesh = _sp_mesh(sp=4)
     params = init_wan_dit(jax.random.PRNGKey(0), cfg)
@@ -108,7 +113,7 @@ def test_sp_dit_forward_matches_single_device(i2v, pad):
     def sp_fn(params, x, t, ctx):
         return wan_dit_forward_sp(params, cfg, x, t, ctx, cos, sin,
                                   mesh=mesh, t_zero_mask=t_zero,
-                                  seq_pad_to=seq_pad_to)
+                                  seq_pad_to=seq_pad_to, fused_rope=fused)
 
     sp = sp_fn(params, x, t, ctx)
     np.testing.assert_allclose(np.asarray(sp), np.asarray(ref),

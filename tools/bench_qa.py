@@ -182,10 +182,110 @@ def bench_vqa(n_ctx_frames: int, max_tokens: int):
             "ctx_frames": n_ctx_frames, "decoded": n_out}
 
 
+def bench_reflexion_e2e():
+    """ONE wall-clock number for a whole Pyramid Reflection question
+    (VERDICT r4 weak #7 / BASELINE.md "VQA clips/sec"): synthetic mp4 ->
+    64-frame pool decode -> seed-frame captioning -> SigLIP embed+rank ->
+    3 static QA rounds -> judge/fallback, through the REAL
+    reflexion_answer_one state machine with offline no-op clients (the
+    reference's keyless mode, eval_understanding.py:403-421 — the judge
+    rejects, so all three pyramid rounds K=4,8,16 actually execute: this
+    is the worst-case round mix, not the accept-at-round-1 best case).
+
+    Env: QA_E2E_TOKENS decode budget per caption/answer (default 64;
+    the reference contract is <=512 but stops at EOS — random weights
+    never emit EOS, so the full 512 would time pure padding),
+    QA_E2E_POOL (default 64), QA_LM_* rescale the LM as above.
+    """
+    import tempfile
+
+    from univid_tpu.data.video_io import save_video
+    from univid_tpu.models.bagel.bagel import BagelConfig, init_bagel
+    from univid_tpu.models.bagel.qwen2_mot import Qwen2MoTConfig
+    from univid_tpu.models.bagel.siglip import SiglipConfig, init_siglip
+    from univid_tpu.pipelines.interleave import InterleaveInferencer
+    from univid_tpu.reflection.clients import NoOpJudge, NoOpReflector
+    from univid_tpu.reflection.reflexion import (ReflexionConfig,
+                                                 reflexion_answer_one)
+    from univid_tpu.reflection.scorer import Siglip2Scorer, \
+        SiglipTextConfig
+    from univid_tpu.utils.tokenizers import HashTokenizer
+
+    pool = int(os.environ.get("QA_E2E_POOL", "64"))
+    tokens = int(os.environ.get("QA_E2E_TOKENS", "64"))
+    layers = int(os.environ.get("QA_LM_LAYERS", "28"))
+    hidden = int(os.environ.get("QA_LM_HIDDEN", "2048"))
+    inter = int(os.environ.get("QA_LM_INTER", str(hidden * 4)))
+    llm = Qwen2MoTConfig(vocab_size=32000, hidden_size=hidden,
+                         intermediate_size=inter, num_layers=layers,
+                         num_heads=hidden // 128, num_kv_heads=4,
+                         moe=os.environ.get("QA_MOE", "1") != "0")
+    cfg = BagelConfig(llm=llm, vit_hidden_size=1152, vit_patch_size=14,
+                      start_of_image=31990, end_of_image=31991,
+                      bos_token_id=31992, eos_token_id=31993)
+    scfg = SiglipConfig(hidden_size=1152, intermediate_size=4304,
+                        num_layers=27, num_heads=16, patch_size=14,
+                        image_size=224)
+    vcfg = SiglipConfig(hidden_size=1152, intermediate_size=4304,
+                        num_layers=27, num_heads=16, patch_size=14,
+                        image_size=224)
+    tcfg = SiglipTextConfig(hidden_size=1152, intermediate_size=4304,
+                            num_layers=27, num_heads=16)
+    params = init_bagel(jax.random.PRNGKey(0), cfg,
+                        param_dtype=jnp.bfloat16)
+    sig = init_siglip(jax.random.PRNGKey(1), scfg,
+                      param_dtype=jnp.bfloat16)
+    inf = InterleaveInferencer(params, cfg,
+                               HashTokenizer(vocab_size=31990),
+                               siglip_params=sig, siglip_cfg=scfg,
+                               compute_dtype=jnp.bfloat16)
+    scorer = Siglip2Scorer(vision_cfg=vcfg, text_cfg=tcfg,
+                           tokenizer=HashTokenizer(vocab_size=32000))
+    rcfg = ReflexionConfig(pool_frames=pool, max_think_token_n=tokens)
+
+    # synthetic 24 fps clip on disk so the pool DECODE is on the clock
+    # (the reference decodes with decord/torchvision/cv2,
+    # eval_understanding.py:153-168)
+    rng = np.random.default_rng(3)
+    vid = rng.integers(0, 255, (pool * 2, 224, 224, 3), np.uint8)
+    tmp = tempfile.mkdtemp()
+    mp4 = os.path.join(tmp, "clip.mp4")
+    save_video(vid.astype(np.float32) / 127.5 - 1.0, mp4, fps=24)
+
+    judge, refl = NoOpJudge(), NoOpReflector()
+
+    def one(q):
+        t0 = time.perf_counter()
+        _, trace = reflexion_answer_one(mp4, q, inf, refl, judge, scorer,
+                                        cfg=rcfg)
+        return time.perf_counter() - t0, trace
+
+    one("warmup: what object appears?")        # compile everything
+    dt, trace = one("what happens in this video?")
+    clip_s = vid.shape[0] / 24.0
+    return {"sec_per_question": round(dt, 2),
+            "clips_per_sec": round(clip_s / dt, 4),
+            "pool_frames": pool,
+            "rounds": len(trace["rounds"]),
+            "components": {
+                "decode_tokens_per_answer": tokens,
+                "caption_seed_frames": rcfg.caption_seed_frames,
+                "static_seq": list(rcfg.static_seq),
+                "lm_scale": f"{layers}L-{hidden}d-{inter}ffn",
+            }}
+
+
 def main():
     n_frames = int(os.environ.get("QA_FRAMES", "64"))
     cap_frames = int(os.environ.get("QA_CAP_FRAMES", "16"))
     max_tokens = int(os.environ.get("QA_MAX_TOKENS", "32"))
+    if os.environ.get("BENCH_QA_E2E", "0") != "0":
+        # driver-facing single-number mode (bench.py vqa_e2e row)
+        r = bench_reflexion_e2e()
+        r["device"] = str(jax.devices()[0])
+        r["backend"] = jax.default_backend()
+        print(json.dumps(r))
+        return
     detail = {"device": str(jax.devices()[0]),
               "backend": jax.default_backend()}
     detail["scorer"] = bench_scorer(n_frames)
@@ -195,6 +295,8 @@ def main():
         detail["vqa"] = bench_vqa(
             int(os.environ.get("QA_VQA_FRAMES", "16")),
             int(os.environ.get("QA_VQA_TOKENS", "128")))
+    if os.environ.get("QA_E2E", "0") != "0":
+        detail["reflexion_e2e"] = bench_reflexion_e2e()
     print(json.dumps({"metric": f"qa_rank{n_frames}_caption{cap_frames}",
                       "detail": detail}))
 

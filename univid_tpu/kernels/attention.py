@@ -81,29 +81,47 @@ def mha_reference(q, k, v, *, causal=False, q_offset=0, kv_len=None,
         softmax_scale = 1.0 / math.sqrt(d)
     s = jnp.einsum("bqnd,bknd->bnqk", q, k,
                    preferred_element_type=jnp.float32) * softmax_scale
-    mask = jnp.ones((b, 1, lq, lk), dtype=bool)
+    # Mask terms are applied to the runtime scores SEPARATELY and kept at
+    # their natural (broadcastable) rank — never combined into one
+    # materialized [b, 1, lq, lk] boolean. When lengths are static the
+    # combined mask is a compile-time constant, and XLA constant-folds
+    # the O(lq*lk) combine + the any() reduction over it at COMPILE time
+    # (a measured 21 s fold of a pred[2,1,8190,512]-class tensor in the
+    # r4 multichip dryrun, MULTICHIP_r04.json tail).
+    seg_mask = None
     if causal:
         row = jnp.arange(lq)[None, :, None] + q_offset
         if q_offsets is not None:
             row = row + q_offsets[:, None, None]
         col = jnp.arange(lk)[None, None, :]
-        mask &= (col <= row)[:, None, :, :]
+        s = jnp.where((col <= row)[:, None, :, :], s, -1e30)
     if kv_len is not None:
-        mask &= (jnp.arange(lk)[None, :] < kv_len[:, None])[:, None, None, :]
+        kv_valid = jnp.arange(lk)[None, :] < kv_len[:, None]   # [b, lk]
+        s = jnp.where(kv_valid[:, None, None, :], s, -1e30)
     if q_segments is not None and packed_mode:
         row = jnp.arange(lq)[None, :, None] + q_offset
         col = jnp.arange(lk)[None, None, :]
-        mask &= _packed_mask_allowed(
+        seg_mask = _packed_mask_allowed(
             q_segments[:, :, None], kv_segments[:, None, :], row,
             col)[:, None, :, :]
     elif q_segments is not None:
-        mask &= (q_segments[:, :, None] ==
-                 kv_segments[:, None, :])[:, None, :, :]
-    s = jnp.where(mask, s, -1e30)
+        seg_mask = (q_segments[:, :, None] ==
+                    kv_segments[:, None, :])[:, None, :, :]
+    if seg_mask is not None:
+        s = jnp.where(seg_mask, s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
-    # fully-masked rows -> 0 (matches kernel's zero-denominator guard)
-    any_valid = jnp.any(mask, axis=-1, keepdims=True)
-    p = jnp.where(any_valid, p, 0.0)
+    # fully-masked rows -> 0 (matches kernel's zero-denominator guard).
+    # Only two mask terms can zero an entire row: kv_len == 0 and the
+    # (runtime) segment/packed masks — a causal row r always sees key 0
+    # (every call site uses non-negative offsets), so no O(lq*lk)
+    # constant any() is needed for it.
+    if seg_mask is not None:
+        valid = seg_mask
+        if kv_len is not None:
+            valid = valid & kv_valid[:, None, None, :]
+        p = jnp.where(jnp.any(valid, axis=-1, keepdims=True), p, 0.0)
+    elif kv_len is not None:
+        p = jnp.where((kv_len > 0)[:, None, None, None], p, 0.0)
     o = jnp.einsum("bnqk,bknd->bqnd", p.astype(v.dtype), v,
                    preferred_element_type=jnp.float32)
     return o.astype(q.dtype)

@@ -232,10 +232,12 @@ def _blocks_and_head(params, cfg: WanDiTConfig, h, e, e0, ctx,
                      remat_blocks: bool = False) -> jnp.ndarray:
     """Block scan + modulated head over (possibly seq-local) tokens.
 
-    h [B, L_local, d]; rope tables are the L_local slice of the GLOBAL
-    tables (per-shard RoPE, reference sequence_parallel.py:50-55);
-    t_zero_mask [B, L_local]; self_kv_len [B] masks padded keys of the
-    GLOBAL sequence. Returns head output tokens [B, L_local, patch_out].
+    h [B, L_local, d]; rope tables are the GLOBAL (padded) tables — under
+    sp the per-shard slice (reference sequence_parallel.py:50-55) is
+    taken here via axis_index, and the fused-rope ulysses path consumes
+    the full tables post-all-to-all; t_zero_mask [B, L_local];
+    self_kv_len [B] masks padded keys of the GLOBAL sequence. Returns
+    head output tokens [B, L_local, patch_out].
     """
     b, l, _ = h.shape
     n = cfg.num_heads
@@ -245,12 +247,21 @@ def _blocks_and_head(params, cfg: WanDiTConfig, h, e, e0, ctx,
 
     # fused-rope prologue (inference fast path): the per-layer fp32
     # cast/rotate/cast chain over q/k (~300 ms/step at the 1.3B point)
-    # moves into the Pallas kernel; tables built once per forward
+    # moves into the Pallas kernel; tables built once per forward.
+    # Under ulysses SP the all-to-all re-assembles the FULL sequence in
+    # global order on every chip, so the global tables fuse there too;
+    # the ring path keeps per-shard XLA rotation (kv chunks rotate
+    # between chips, so no single in-kernel table applies).
     rope_tabs = None
-    if fused_rope and sp_axis is None:
+    if fused_rope and (sp_axis is None or sp_impl == "ulysses"):
         from ...kernels.flash_attention import build_fused_rope_tables
         rope_tabs = build_fused_rope_tables(rope_cos, rope_sin,
                                             cfg.head_dim)
+    if sp_axis is not None:
+        # per-shard slice of the global tables for the XLA rotation path
+        start = jax.lax.axis_index(sp_axis) * l
+        rope_cos = jax.lax.dynamic_slice_in_dim(rope_cos, start, l)
+        rope_sin = jax.lax.dynamic_slice_in_dim(rope_sin, start, l)
 
     def block_fn(x32, bp):
         mod = bp["modulation"].astype(jnp.float32)[None, None] + e0
@@ -275,7 +286,9 @@ def _blocks_and_head(params, cfg: WanDiTConfig, h, e, e0, ctx,
                                   seq_len_global=self_kv_len)
         elif sp_axis is not None:
             attn = ulysses_attention(q, k, v, sp_axis,
-                                     kv_len=self_kv_len)
+                                     kv_len=self_kv_len,
+                                     rope_tables=rope_tabs,
+                                     softmax_bf16=policy.softmax_bf16)
         else:
             attn = attention(q, k, v, kv_len=self_kv_len,
                              rope_tables=rope_tabs,
@@ -317,7 +330,9 @@ def _blocks_and_head(params, cfg: WanDiTConfig, h, e, e0, ctx,
         q = q.reshape(b, l, n, dh)
         k = k.reshape(b, ctx_len, n, dh)
         v = v.reshape(b, ctx_len, n, dh)
-        attn = attention(q, k, v).reshape(b, l, cfg.dim)
+        attn = attention(q, k, v,
+                         softmax_bf16=policy.softmax_bf16
+                         ).reshape(b, l, cfg.dim)
         attn = nn.linear(ca["o"], attn, compute_dtype=policy.compute_dtype)
         x32 = x32 + attn.astype(rdt)
 
@@ -416,6 +431,7 @@ def wan_dit_forward_sp(
     t_zero_mask: Optional[jnp.ndarray] = None,
     seq_pad_to: Optional[int] = None,
     policy: DTypePolicy = DEFAULT_POLICY,
+    fused_rope: bool = False,  # in-kernel rope (ulysses only; no-op ring)
     remat_blocks=False,  # False | True (full) | 'attn' (save attn_out)
 ) -> jnp.ndarray:
     """Sequence-parallel velocity prediction: context-parallel token
@@ -460,7 +476,7 @@ def wan_dit_forward_sp(
 
     inner = _ft.partial(_blocks_and_head, cfg=cfg, policy=policy,
                         sp_axis=sp_axis, sp_impl=sp_impl,
-                        remat_blocks=remat_blocks)
+                        fused_rope=fused_rope, remat_blocks=remat_blocks)
 
     def body(params, h, e, e0, ctx, rope_cos, rope_sin, t_zero_mask,
              self_kv_len):
@@ -468,10 +484,14 @@ def wan_dit_forward_sp(
                      rope_sin=rope_sin, t_zero_mask=t_zero_mask,
                      self_kv_len=self_kv_len)
 
+    # rope tables enter REPLICATED (global length): _blocks_and_head
+    # slices the per-shard window via axis_index for the XLA rotation
+    # path, and the fused-rope ulysses path consumes the full tables
+    # after its all-to-all re-assembles the global sequence
     out = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(None, sp_axis, None), P(), P(), P(),
-                  P(sp_axis, None), P(sp_axis, None), P(None, sp_axis),
+                  P(), P(), P(None, sp_axis),
                   P()),
         out_specs=P(None, sp_axis, None),
         axis_names={sp_axis}, check_vma=False,

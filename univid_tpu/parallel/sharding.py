@@ -40,8 +40,12 @@ def dit_param_sharding_rules() -> List[Tuple[str, P]]:
         (r"blocks/ffn/fc0/w$", P(None, AXIS_FSDP, AXIS_TP)),
         (r"blocks/ffn/fc0/b$", P(None, AXIS_TP)),
         (r"blocks/ffn/fc1/w$", P(None, AXIS_TP, AXIS_FSDP)),
-        # per-block modulation [L, 6, dim] / norms — fsdp over dim
-        (r"blocks/modulation$", P(None, None, AXIS_FSDP)),
+        # per-block modulation [L, 6, dim] stays REPLICATED: it is tiny
+        # (~1.1 MB for the 5B) and fsdp-sharding it forced an SPMD
+        # "involuntary full rematerialization" reshard inside the block
+        # scan every step (the r4 dryrun Shardy warning) — replicate-cost
+        # is nothing, the reshard is a per-block collective
+        (r"blocks/modulation$", P()),
         # embeddings / head: fsdp the big dims
         (r"patch_embed/w$", P(None, AXIS_FSDP)),
         (r"(text_embedding|time_embedding|time_projection)/fc\d+/w$",

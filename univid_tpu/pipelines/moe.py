@@ -133,7 +133,8 @@ class WanMoEPipeline:
             if self.sp_size > 1:
                 return wan_dit_forward_sp(
                     params, cfg, x2, t2, ctx, rope_cos, rope_sin,
-                    mesh=self.mesh, seq_pad_to=seq_len, policy=self.policy)
+                    mesh=self.mesh, seq_pad_to=seq_len, policy=self.policy,
+                    fused_rope=True)
             return wan_dit_forward(
                 params, cfg, x2, t2, ctx, rope_cos, rope_sin,
                 seq_pad_to=seq_len, policy=self.policy, fused_rope=True)

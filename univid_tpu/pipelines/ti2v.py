@@ -245,7 +245,8 @@ class WanTI2VPipeline:
                     return wan_dit_forward_sp(
                         dit_params, cfg, x2, t2, ctx, rope_cos, rope_sin,
                         mesh=self.mesh, t_zero_mask=t_zero,
-                        seq_pad_to=seq_len, policy=self.policy)
+                        seq_pad_to=seq_len, policy=self.policy,
+                        fused_rope=True)
                 return wan_dit_forward(
                     dit_params, cfg, x2, t2, ctx, rope_cos, rope_sin,
                     t_zero_mask=t_zero, seq_pad_to=seq_len,

@@ -215,3 +215,40 @@ def test_strict_mode_raises_on_unconsumed():
             sd, lambda s: C.convert_wan_dit(s, cfg, jnp.float32),
             strict=False)
     assert leftover == ["mystery.extra.weight"]
+
+
+def test_siglip2_naflex_manifest_matches_converter():
+    """siglip2_naflex_manifest round-trips through
+    reflection.naflex.convert_naflex_checkpoint with every key consumed
+    (the reference's DEFAULT scorer checkpoint surface,
+    eval_understanding.py:42)."""
+    from univid_tpu.reflection.naflex import (NaflexTextConfig,
+                                              NaflexVisionConfig,
+                                              convert_naflex_checkpoint)
+
+    vcfg = NaflexVisionConfig(hidden_size=32, intermediate_size=64,
+                              num_layers=2, num_heads=4, patch_size=4,
+                              num_patches=16, max_num_patches=16)
+    tcfg = NaflexTextConfig(vocab_size=64, hidden_size=32,
+                            intermediate_size=64, num_layers=2,
+                            num_heads=4, max_len=8, proj_dim=32)
+    man = M.siglip2_naflex_manifest(vcfg, tcfg)
+    rec = M.RecordingDict(_sd_from_manifest(man))
+    vision, vcfg2, text, tcfg2 = convert_naflex_checkpoint(
+        rec, vision_heads=4, text_heads=4)
+    _ = rec["logit_scale"], rec["logit_bias"]
+    leftover = sorted(set(rec) - rec.consumed)
+    assert leftover == [], leftover
+    assert vcfg2.patch_size == 4 and vcfg2.num_patches == 16
+    assert tcfg2.proj_dim == 32
+    # converted trees match the init templates leaf-for-leaf
+    from univid_tpu.reflection.naflex import (init_naflex_text,
+                                              init_naflex_vision)
+    import jax
+
+    tv = init_naflex_vision(jax.random.PRNGKey(0), vcfg2)
+    tt = init_naflex_text(jax.random.PRNGKey(1), tcfg2)
+    assert jax.tree.map(lambda a: a.shape, vision) == \
+        jax.tree.map(lambda a: a.shape, tv)
+    assert jax.tree.map(lambda a: a.shape, text) == \
+        jax.tree.map(lambda a: a.shape, tt)

@@ -45,6 +45,13 @@ def main():
                                 num_heads=16, max_len=64, proj_dim=1152)
     entries["siglip2_so400m"] = M.siglip2_manifest(so400m_v, so400m_t)
 
+    # SigLIP2-base-patch16-naflex — the reference's DEFAULT scorer
+    # (eval_understanding.py:42): NaFlex variable-aspect dual tower
+    from univid_tpu.reflection.naflex import (NaflexTextConfig,
+                                              NaflexVisionConfig)
+    entries["siglip2_naflex"] = M.siglip2_naflex_manifest(
+        NaflexVisionConfig(), NaflexTextConfig())
+
     # SAM2 Hiera-L video model (animate preprocess segmentation,
     # sam_utils.py:122-155)
     from univid_tpu.models.sam2 import Sam2Config

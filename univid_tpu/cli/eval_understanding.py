@@ -118,10 +118,35 @@ def load_models(args):
         vae_params=vae_params, vae_cfg=vae_cfg,
         compute_dtype=jnp.float32 if args.mock_weights else jnp.bfloat16)
     # pretrained SigLIP2 dual tower when a local checkpoint is given
-    # (reference AutoModel path, eval_understanding.py:171-206);
-    # random-init fallback is test-only
-    if not args.mock_weights and os.path.isdir(args.siglip_ckpt):
-        scorer = Siglip2Scorer.from_checkpoint(args.siglip_ckpt)
+    # (reference AutoModel path, eval_understanding.py:171-206); usable
+    # with --mock_weights too (real scorer + mock LM is a valid smoke
+    # mix). Random-init fallback is test-only. The AutoModel dispatch:
+    # config.json model_type "siglip2" -> the NaFlex variable-aspect
+    # tower (the reference DEFAULT, google/siglip2-base-patch16-naflex);
+    # "siglip" -> the fixed-resolution tower (so400m-class checkpoints).
+    if os.path.isdir(args.siglip_ckpt):
+        import json as _json
+        model_type = ""
+        cfg_json = os.path.join(args.siglip_ckpt, "config.json")
+        if os.path.exists(cfg_json):
+            with open(cfg_json) as f:
+                model_type = _json.load(f).get("model_type", "")
+        cls = Siglip2Scorer
+        if model_type == "siglip2":
+            from ..reflection.naflex import Siglip2NaflexScorer
+            cls = Siglip2NaflexScorer
+        try:
+            scorer = cls.from_checkpoint(args.siglip_ckpt)
+        except RuntimeError as e:
+            # checkpoint dir without tokenizer files (load_tokenizer is
+            # offline-strict): fall back to the LM tokenizer with a
+            # warning — embeddings stay real, only text tokenization
+            # differs from the shipped AutoProcessor
+            import sys
+            print(f"WARNING: {e}; using the LM tokenizer for the SigLIP "
+                  "text tower", file=sys.stderr)
+            scorer = cls.from_checkpoint(args.siglip_ckpt,
+                                         tokenizer=tokenizer)
     else:
         if not args.mock_weights:
             import sys

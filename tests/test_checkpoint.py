@@ -211,3 +211,128 @@ def test_bagel_llm_conversion_forward():
                              compute_dtype=jnp.float32)
     assert h.shape == (3, 16)
     assert np.isfinite(np.asarray(h)).all()
+
+
+# ---------------------------------------------------------------------------
+# real-checkpoint ingestion rehearsal (VERDICT r4 #8): the published
+# checkpoints ship as sharded safetensors + *.safetensors.index.json;
+# these tests exercise that exact on-disk format through the real loader
+# and the header-only pre-flight audit so real-weight day cannot fail
+# silently into random-init.
+# ---------------------------------------------------------------------------
+
+
+def _write_sharded_ckpt(tmp_path, manifest, n_shards=3,
+                        index_name="model.safetensors.index.json"):
+    from safetensors.numpy import save_file
+
+    keys = sorted(manifest)
+    weight_map, shards = {}, [{} for _ in range(n_shards)]
+    for i, k in enumerate(keys):
+        fname = f"model-{i % n_shards + 1:05d}-of-{n_shards:05d}.safetensors"
+        weight_map[k] = fname
+        shards[i % n_shards][k] = np.zeros(manifest[k], np.float32)
+    for i, sd in enumerate(shards):
+        save_file(sd, str(tmp_path / f"model-{i + 1:05d}-of-"
+                                     f"{n_shards:05d}.safetensors"))
+    import json as _json
+    (tmp_path / index_name).write_text(_json.dumps(
+        {"metadata": {"total_size": 0}, "weight_map": weight_map}))
+    return weight_map
+
+
+def test_sharded_index_load_and_audit(tmp_path):
+    """HF sharded layout (index.json + N shards) loads through
+    load_state_dict and audits clean header-only."""
+    from univid_tpu.core import manifest as M
+    from univid_tpu.core.checkpoint import (audit_checkpoint,
+                                            collect_checkpoint_shapes,
+                                            load_state_dict)
+    from univid_tpu.core.config import WanDiTConfig
+
+    cfg = WanDiTConfig(model_type="t2v", in_dim=8, out_dim=8, dim=32,
+                       ffn_dim=64, freq_dim=16, text_dim=24, num_heads=4,
+                       num_layers=2, text_len=8)
+    man = M.wan_dit_manifest(cfg)
+    _write_sharded_ckpt(tmp_path, man)
+    sd = load_state_dict(str(tmp_path))
+    assert set(sd) == set(man)
+    shapes = collect_checkpoint_shapes(str(tmp_path))
+    assert shapes == {k: tuple(v) for k, v in man.items()}
+    diff = audit_checkpoint(str(tmp_path), man)
+    assert not any(diff.values()), diff
+
+
+def test_sharded_index_detects_corruption(tmp_path):
+    """Half-downloaded / mismatched checkpoints fail loudly: a key listed
+    in the index but absent from shards raises; a wrong shape and an
+    extra key surface in the audit."""
+    import json as _json
+
+    import pytest
+    from safetensors.numpy import save_file
+
+    from univid_tpu.core import manifest as M
+    from univid_tpu.core.checkpoint import audit_checkpoint, load_state_dict
+    from univid_tpu.core.config import WanDiTConfig
+
+    cfg = WanDiTConfig(model_type="t2v", in_dim=8, out_dim=8, dim=32,
+                       ffn_dim=64, freq_dim=16, text_dim=24, num_heads=4,
+                       num_layers=2, text_len=8)
+    man = M.wan_dit_manifest(cfg)
+    weight_map = _write_sharded_ckpt(tmp_path, man, n_shards=2)
+
+    # audit catches shape mismatch + unexpected key (header-only)
+    k0 = sorted(man)[0]
+    bad = {k0: np.zeros((3, 3), np.float32),
+           "stray.weight": np.zeros((2,), np.float32)}
+    fname = weight_map[k0]
+    # rewrite the shard holding k0 with the corrupted tensor
+    from univid_tpu.core.checkpoint import read_safetensors_header
+    orig = read_safetensors_header(str(tmp_path / fname))
+    full = {k: np.zeros(s, np.float32) for k, (_, s) in orig.items()}
+    full.update(bad)
+    save_file(full, str(tmp_path / fname))
+    diff = audit_checkpoint(str(tmp_path), man)
+    assert any(k0 in s for s in diff["shape_mismatch"])
+    # stray key is visible header-wise but NOT index-listed; the audit
+    # reads via the index, so corruption shows as shape_mismatch only
+    assert diff["missing"] == []
+
+    # a key listed in the index but missing from every shard -> loud fail
+    idx = tmp_path / "model.safetensors.index.json"
+    m = _json.loads(idx.read_text())
+    m["weight_map"]["ghost.weight"] = fname
+    idx.write_text(_json.dumps(m))
+    with pytest.raises(ValueError, match="absent from the shards"):
+        load_state_dict(str(tmp_path))
+
+
+def test_audit_checkpoint_cli(tmp_path):
+    """tools/audit_checkpoint.py end-to-end against a pinned-format
+    manifest json + sharded checkpoint."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    from univid_tpu.core import manifest as M
+    from univid_tpu.core.config import WanDiTConfig
+
+    cfg = WanDiTConfig(model_type="t2v", in_dim=8, out_dim=8, dim=32,
+                       ffn_dim=64, freq_dim=16, text_dim=24, num_heads=4,
+                       num_layers=2, text_len=8)
+    man = M.wan_dit_manifest(cfg)
+    mpath = tmp_path / "tiny_dit.json"
+    M.save_manifest(str(mpath), man)
+    ck = tmp_path / "ckpt"
+    ck.mkdir()
+    _write_sharded_ckpt(ck, man)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "audit_checkpoint.py"),
+         "--ckpt", str(ck), "--manifest", str(mpath)],
+        capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr[-500:]
+    r = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert r["ok"] is True and r["keys_expected"] == len(man)

@@ -87,7 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(inference only; measured ~7%% SLOWER than the "
                         "fp32 chain at the 1.3B 33k-token v5e shape — "
                         "opt-in for other geometries; gate QS_SOFTMAX=1 "
-                        "in tools/quality_sweep.py)")
+                        "in tools/quality_sweep.py). Applies to the "
+                        "Pallas flash kernels (self/cross attention incl. "
+                        "ulysses SP and the animate path); the XLA and "
+                        "ring backends keep fp32 softmax")
     p.add_argument("--int8", action="store_true",
                    help="int8 W8A8 serving mode: quantize the DiT's "
                         "per-block GEMMs to dynamic-activation int8 "

@@ -17,6 +17,7 @@ weights are not available in this environment).
 
 from __future__ import annotations
 
+import json
 import os
 import re
 from typing import Dict, List, Optional
@@ -32,9 +33,37 @@ from .config import T5Config, WanDiTConfig, WanModelSpec, WanVAEConfig
 # ---------------------------------------------------------------------------
 
 
+def _find_index_json(path: str):
+    """HF/diffusers sharded-checkpoint index (model.safetensors.index.json
+    etc.) in a checkpoint dir, or None."""
+    for fname in sorted(os.listdir(path)):
+        if fname.endswith(".safetensors.index.json"):
+            return os.path.join(path, fname)
+    return None
+
+
 def load_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Load .safetensors (single or sharded dir) or torch .pth into numpy."""
+    """Load .safetensors (single or sharded dir) or torch .pth into numpy.
+
+    Sharded dirs honor the *.safetensors.index.json weight_map when
+    present (the published Wan/UMT5/BAGEL/FLUX layouts): exactly the
+    mapped shard files are read and every mapped key must materialize —
+    real-weight day must not silently half-load (VERDICT r4 #8)."""
     if os.path.isdir(path):
+        idx = _find_index_json(path)
+        if idx is not None:
+            with open(idx) as fh:
+                weight_map = json.load(fh)["weight_map"]
+            out = {}
+            for fname in sorted(set(weight_map.values())):
+                out.update(_load_safetensors(os.path.join(path, fname)))
+            missing = sorted(set(weight_map) - set(out))
+            if missing:
+                raise ValueError(
+                    f"sharded checkpoint {path}: {len(missing)} keys in "
+                    f"the index are absent from the shards, first: "
+                    f"{missing[:5]}")
+            return out
         out = {}
         for fname in sorted(os.listdir(path)):
             if fname.endswith(".safetensors"):
@@ -48,6 +77,68 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
     if path.endswith(".safetensors"):
         return _load_safetensors(path)
     return _load_torch(path)
+
+
+def read_safetensors_header(path: str) -> Dict[str, tuple]:
+    """{key: (dtype_str, shape)} from a .safetensors header — 8-byte LE
+    length + JSON — without reading any tensor data. Lets the audit of a
+    multi-GB real checkpoint run in milliseconds."""
+    import struct
+    with open(path, "rb") as fh:
+        (n,) = struct.unpack("<Q", fh.read(8))
+        header = json.loads(fh.read(n))
+    return {k: (v["dtype"], tuple(v["shape"]))
+            for k, v in header.items() if k != "__metadata__"}
+
+
+def collect_checkpoint_shapes(path: str) -> Dict[str, tuple]:
+    """{key: shape} for a checkpoint file/dir, header-only for
+    safetensors (sharded dirs via the index weight_map); torch .pth
+    falls back to a full load."""
+    if os.path.isdir(path):
+        idx = _find_index_json(path)
+        if idx is not None:
+            with open(idx) as fh:
+                weight_map = json.load(fh)["weight_map"]
+            shapes: Dict[str, tuple] = {}
+            for fname in sorted(set(weight_map.values())):
+                for k, (_, shp) in read_safetensors_header(
+                        os.path.join(path, fname)).items():
+                    shapes[k] = shp
+            missing = sorted(set(weight_map) - set(shapes))
+            if missing:
+                raise ValueError(
+                    f"index lists {len(missing)} keys absent from shard "
+                    f"headers, first: {missing[:5]}")
+            return shapes
+        shapes = {}
+        found = False
+        for fname in sorted(os.listdir(path)):
+            if fname.endswith(".safetensors"):
+                found = True
+                shapes.update({k: s for k, (_, s) in
+                               read_safetensors_header(
+                                   os.path.join(path, fname)).items()})
+        if found:
+            return shapes
+    elif path.endswith(".safetensors"):
+        return {k: s for k, (_, s) in
+                read_safetensors_header(path).items()}
+    return {k: tuple(v.shape) for k, v in load_state_dict(path).items()}
+
+
+def audit_checkpoint(path: str, manifest) -> Dict[str, list]:
+    """Key+shape diff of an on-disk checkpoint against a pinned manifest
+    (core/manifest.py audit_keys), header-only for safetensors. The
+    pre-flight for real-weight day: run BEFORE any conversion so a
+    mismatched download fails loudly, not silently into random-init
+    (tools/audit_checkpoint.py is the CLI)."""
+    from types import SimpleNamespace
+
+    from .manifest import audit_keys
+    shapes = collect_checkpoint_shapes(path)
+    shim = {k: SimpleNamespace(shape=s) for k, s in shapes.items()}
+    return audit_keys(shim, manifest)
 
 
 def _load_safetensors(path: str) -> Dict[str, np.ndarray]:

@@ -258,7 +258,11 @@ def wan_animate_forward(
         q, k, v = _qkv(bp["self_attn"], y, n, policy, cfg.qk_norm)
         q = apply_rope(q, rope_cos, rope_sin).astype(policy.compute_dtype)
         k = apply_rope(k, rope_cos, rope_sin).astype(policy.compute_dtype)
-        attn = attention(q, k, v).reshape(b, l, cfg.dim)
+        # softmax_bf16 threaded like the base DiT (dit.py): the CLI
+        # --bf16_softmax knob must not silently no-op on the animate path
+        attn = attention(q, k, v,
+                         softmax_bf16=policy.softmax_bf16
+                         ).reshape(b, l, cfg.dim)
         attn = nn.linear(bp["self_attn"]["o"], attn,
                          compute_dtype=policy.compute_dtype)
         x32 = x32 + attn.astype(jnp.float32) * m(2)

@@ -454,6 +454,17 @@ def main():
                if "est_mfu" in i85["detail"] else {}),
         }
 
+    def row_stages():
+        # per-stage DiT step breakdown at the headline shape (VERDICT r4
+        # #3: attribute the MFU claim — self-attn kernel / qkvo GEMMs /
+        # cross-attn / ffn / modulation ms per step)
+        st = _sub_bench({"_SCRIPT": os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools",
+            "bench_stages.py")})
+        detail["stages"] = {k: st[k] for k in
+                            ("per_step_ms", "sum_ms", "share",
+                             "self_attn_kernel_mfu", "seq") if k in st}
+
     def row_vqa():
         # reflexion end-to-end: one sec/question number for the whole
         # video-QA loop (pool decode -> embed -> rank -> caption ->
@@ -484,6 +495,7 @@ def main():
          sub_rows and model == "t2v-1.3B" and _on("BENCH_INT8_ROW"))
     _row("vqa_e2e", 150, row_vqa, sub_rows and _on(
         "BENCH_VQA", "1" if model == "t2v-1.3B" else "0"))
+    _row("stages", 90, row_stages, sub_rows and _on("BENCH_STAGES"))
 
     detail["bench_elapsed_s"] = round(time.time() - _T_START, 1)
     print(json.dumps(_RESULT))

@@ -337,3 +337,77 @@ def test_convert_clip_vit_roundtrip():
     out_got = clip_visual_forward(got, ccfg, img)
     np.testing.assert_allclose(np.asarray(out_got),
                                np.asarray(out_ref), rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# XLM-Roberta CLIP text tower (clip.py:303-325 + xlm_roberta.py) —
+# checkpoint-complete CLIP parity; unused by any inference pipeline
+# (PARITY rescope row now closed)
+# ---------------------------------------------------------------------------
+
+
+def test_clip_text_matches_reference_xlm_roberta():
+    import importlib.machinery
+    import importlib.util
+    import os
+
+    ref_path = ("/root/reference/models/wan/utils/modules/animate/"
+                "xlm_roberta.py")
+    if not os.path.exists(ref_path):
+        import pytest
+        pytest.skip("reference tree not mounted")
+    import torch
+
+    loader = importlib.machinery.SourceFileLoader("ref_xlmr", ref_path)
+    spec = importlib.util.spec_from_loader("ref_xlmr", loader)
+    ref_xlmr = importlib.util.module_from_spec(spec)
+    loader.exec_module(ref_xlmr)
+
+    from univid_tpu.models.wan.animate.clip_text import (
+        ClipTextXlmRobertaConfig, clip_text_forward,
+        convert_clip_text_xlm_roberta, init_clip_text)
+
+    cfg = ClipTextXlmRobertaConfig(vocab_size=64, max_seq_len=16,
+                                   pad_id=1, dim=32, num_heads=4,
+                                   num_layers=2, out_dim=24)
+
+    class RefWithHead(ref_xlmr.XLMRoberta):
+        """The 8-line XLMRobertaWithHead wrapper (clip.py:303-325):
+        masked mean pool + bias-free GELU head."""
+
+        def __init__(self, out_dim, **kw):
+            super().__init__(**kw)
+            mid = (self.dim + out_dim) // 2
+            self.head = torch.nn.Sequential(
+                torch.nn.Linear(self.dim, mid, bias=False),
+                torch.nn.GELU(),
+                torch.nn.Linear(mid, out_dim, bias=False))
+
+        def forward(self, ids):
+            x = super().forward(ids)
+            mask = ids.ne(self.pad_id).unsqueeze(-1).to(x)
+            x = (x * mask).sum(dim=1) / mask.sum(dim=1)
+            return self.head(x)
+
+    torch.manual_seed(0)
+    ref = RefWithHead(out_dim=cfg.out_dim, vocab_size=cfg.vocab_size,
+                      max_seq_len=cfg.max_seq_len, type_size=1,
+                      pad_id=cfg.pad_id, dim=cfg.dim,
+                      num_heads=cfg.num_heads, num_layers=cfg.num_layers,
+                      post_norm=True, dropout=0.0).eval()
+    # the reference prefixes the tower under `textual.` inside CLIPModel
+    sd = {"textual." + k: v.detach().numpy()
+          for k, v in ref.state_dict().items()}
+    params = convert_clip_text_xlm_roberta(sd, cfg)
+    # converted tree matches the init template leaf-for-leaf
+    tmpl = init_clip_text(jax.random.PRNGKey(0), cfg)
+    assert jax.tree.map(lambda a: a.shape, params) == \
+        jax.tree.map(lambda a: a.shape, tmpl)
+
+    ids = np.array([[5, 9, 17, 3, 2, 1, 1, 1],
+                    [7, 30, 2, 1, 1, 1, 1, 1]], np.int64)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(ids)).numpy()
+    got = np.asarray(clip_text_forward(params, cfg,
+                                       jnp.asarray(ids, jnp.int32)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

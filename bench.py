@@ -139,6 +139,14 @@ def measure(model: str, w: int, h: int, frames: int, steps_measured: int,
         # geometries; NOT a default.
         import dataclasses
         policy = dataclasses.replace(policy, softmax_bf16=True)
+    if os.environ.get("BENCH_QK_INT8", "0") == "1":
+        # int8 QK^T flash kernel (per-row q / per-block k scales).
+        # MEASURED NEGATIVE on v5e (96.5 vs 90.6 ms at the 1.3B kernel
+        # shape — head_dim=128 contraction can't use the int8 MXU
+        # packing rate, see core/dtypes.py); diagnostic knob only,
+        # never a bench row. Quality gate: tools/quality_sweep.py.
+        import dataclasses
+        policy = dataclasses.replace(policy, qk_int8=True)
     spec = WAN_CONFIGS[model]
     dck = int(os.environ.get("BENCH_DECODE_CHUNK", "0"))
     if dck > 1:

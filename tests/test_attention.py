@@ -303,3 +303,64 @@ def test_fused_rope_with_kv_len_and_padding():
     np.testing.assert_allclose(np.asarray(out)[:, :l - 9],
                                np.asarray(ref)[:, :l - 9],
                                rtol=2e-5, atol=2e-5)
+
+
+def test_qk_int8_variant_close():
+    """int8 QK^T kernel (per-row q / per-block k symmetric scales,
+    SageAttention-style) vs the exact fp32-score kernel: rel err ~1% on
+    qk-normed inputs (the Wan case — RMS-normalized q/k rows bound the
+    per-block k scale). Off by default — MEASURED SLOWER than bf16 on
+    v5e at the 1.3B kernel shape (head_dim=128 contraction is a single
+    MXU pass either way; see core/dtypes.py). Correctness stays tested
+    so the knob remains sound for hardware where it pays."""
+    import jax
+    import jax.numpy as jnp
+
+    b, l, n, d = 2, 256, 2, 128
+    key = jax.random.PRNGKey(5)
+    q, k, v = (jax.random.normal(kk, (b, l, n, d), jnp.float32)
+               for kk in jax.random.split(key, 3))
+    # qk-norm rows like the Wan DiT (rms_norm before rope)
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True) * d ** 0.5
+    k = k / jnp.linalg.norm(k, axis=-1, keepdims=True) * d ** 0.5
+    base = flash_attention_padded(q, k, v, block_q=128, block_k=128,
+                                  interpret=True)
+    qi = flash_attention_padded(q, k, v, block_q=128, block_k=128,
+                                interpret=True, qk_int8=True)
+    rel = (np.abs(np.asarray(base) - np.asarray(qi)).mean()
+           / np.abs(np.asarray(base)).mean())
+    assert rel < 0.03, rel
+
+
+def test_qk_int8_with_kv_len_and_fused_rope():
+    """qk_int8 composes with the fused-rope prologue and kv_len
+    masking: quantization happens on the ROTATED tiles and masked
+    columns stay exactly excluded (NEG_INF applied to the rescaled
+    fp32 scores, not the int8 operands)."""
+    import jax
+    import jax.numpy as jnp
+
+    from univid_tpu.kernels.flash_attention import build_fused_rope_tables
+    from univid_tpu.ops.rope import build_rope_3d
+
+    b, l, n, d = 2, 256, 2, 128
+    key = jax.random.PRNGKey(6)
+    q, k, v = (jax.random.normal(kk, (b, l, n, d), jnp.float32)
+               for kk in jax.random.split(key, 3))
+    cos, sin = build_rope_3d(d, (4, 8, 8))
+    tabs = build_fused_rope_tables(cos, sin, d)
+    kv_len = jnp.array([200, 97], jnp.int32)
+    base = flash_attention_padded(q, k, v, block_q=128, block_k=128,
+                                  interpret=True, rope_tables=tabs,
+                                  kv_len=kv_len)
+    qi = flash_attention_padded(q, k, v, block_q=128, block_k=128,
+                                interpret=True, rope_tables=tabs,
+                                kv_len=kv_len, qk_int8=True)
+    a, bq_ = np.asarray(base), np.asarray(qi)
+    rel = np.abs(a - bq_).mean() / np.abs(a).mean()
+    assert rel < 0.03, rel
+    # a fully-masked tail column range must be identical (zeros path):
+    # rows attend only within kv_len, so outputs for batch 1 rows match
+    # between the two kernels where p underflows identically — sanity
+    # check finiteness everywhere instead of exact equality
+    assert np.isfinite(bq_).all()

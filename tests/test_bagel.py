@@ -184,6 +184,32 @@ def test_caption_frames_batched_matches_sequential(bagel):
     assert batched == sequential
 
 
+def test_chat_matches_manual_context_path(bagel):
+    """chat() (the reference Bagel.chat eval helper, bagel.py:1003-1075)
+    == manually building ViT-only image contexts + prompt + gen_text."""
+    from univid_tpu.pipelines.interleave import InterleaveInferencer
+    from univid_tpu.utils.tokenizers import HashTokenizer
+
+    scfg = SiglipConfig(hidden_size=16, intermediate_size=32, num_layers=1,
+                        num_heads=2, patch_size=2, image_size=16)
+    sig = init_siglip(jax.random.PRNGKey(1), scfg)
+    inf = InterleaveInferencer(bagel, TINY, HashTokenizer(vocab_size=180),
+                               siglip_params=sig, siglip_cfg=scfg,
+                               capacity=256, compute_dtype=jnp.float32)
+    imgs = [jax.random.normal(jax.random.PRNGKey(i), (6, 8, 3))
+            for i in range(2)]
+    prompt = "what changed between the frames"
+
+    ans = inf.chat(imgs, prompt, max_length=8)
+    ctx = inf.init_gen_context()
+    for im in imgs:
+        ctx = inf.update_context_image(im, ctx, vae=False)
+    ctx = inf.update_context_text(prompt, ctx)
+    manual = inf.gen_text(ctx, max_length=8)
+    assert ans == manual
+    assert isinstance(ans, str)
+
+
 def test_patchify_latent_roundtrip():
     from univid_tpu.models.bagel.bagel import patchify_latent
 

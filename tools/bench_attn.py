@@ -89,7 +89,8 @@ def sweep(name, b, l, n, d, iters):
             fn = jax.jit(functools.partial(
                 attention, block_q=bq, block_k=bk, kv_len=kv_len,
                 softmax_bf16=os.environ.get("ATTN_BF16_SOFTMAX",
-                                            "0") == "1"))
+                                            "0") == "1",
+                qk_int8=os.environ.get("ATTN_QK_INT8", "0") == "1"))
             try:
                 dt = bench(fn, q, k, v, iters=iters)
             except Exception as e:  # noqa: BLE001

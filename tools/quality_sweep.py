@@ -123,12 +123,27 @@ def main():
         import dataclasses
         variants["bf16_softmax"] = run(dataclasses.replace(
             BF16_RESIDUAL_POLICY, softmax_bf16=True))
+    if os.environ.get("QS_QK_INT8", "0") == "1":
+        # int8 QK^T flash kernel (per-row q / per-block k scales) on top
+        # of the bf16-residual policy. Opt-in gate only: the knob
+        # measured SLOWER on v5e (96.5 vs 90.6 ms at the 1.3B kernel
+        # shape — QK^T's head_dim=128 contraction is one MXU pass in
+        # either dtype, so the in-loop quantize/rescale is pure VPU
+        # overhead; see core/dtypes.py), so it is not a serving default.
+        import dataclasses
+        variants["qk_int8"] = run(dataclasses.replace(
+            BF16_RESIDUAL_POLICY, qk_int8=True))
     if os.environ.get("QS_INT8", "1") != "0":
         # int8 W8A8 serving mode: per-block GEMMs quantized (dynamic
         # per-token activation scales), embeds/AdaLN/head bf16
         from univid_tpu.core.quant import quantize_dit_w8a8
         qdit = jax.jit(quantize_dit_w8a8)(dit_params)
         variants["int8_w8a8"] = run(BF16_RESIDUAL_POLICY, params=qdit)
+        if os.environ.get("QS_QK_INT8", "0") == "1":
+            # W8A8 GEMMs + int8 QK^T combo (diagnostic — see above)
+            import dataclasses
+            variants["int8_full"] = run(dataclasses.replace(
+                BF16_RESIDUAL_POLICY, qk_int8=True), params=qdit)
         del qdit
     for t in thresholds:
         variants[f"taylorseer_t{t}"] = run(DEFAULT_POLICY,

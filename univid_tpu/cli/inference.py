@@ -97,6 +97,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "(s8 x s8 -> s32 on the MXU; embeds/AdaLN/head "
                         "stay bf16). Quality gate: int8_w8a8 row of "
                         "tools/quality_sweep.py")
+    p.add_argument("--qk_int8", action="store_true",
+                   help="int8 QK^T inside the flash self-attention "
+                        "kernel (per-row q / per-block k scales, "
+                        "quantized post-rope in-kernel). MEASURED "
+                        "SLOWER on v5e (96.5 vs 90.6 ms at the 1.3B "
+                        "33k-token shape): QK^T contracts over "
+                        "head_dim=128, too short for the MXU's int8 "
+                        "contraction-packing rate — see "
+                        "core/dtypes.py. Opt-in for future hardware; "
+                        "Pallas-only scope like --bf16_softmax. "
+                        "Quality gate: qk_int8 row of "
+                        "tools/quality_sweep.py")
     p.add_argument("--solver", type=str, default="unipc",
                    choices=["unipc", "dpm++", "dpm++3"])
     # TPU-specific
@@ -208,6 +220,9 @@ def build_pipeline(args):
     if getattr(args, "bf16_softmax", False):
         import dataclasses
         policy = dataclasses.replace(policy, softmax_bf16=True)
+    if getattr(args, "qk_int8", False):
+        import dataclasses
+        policy = dataclasses.replace(policy, qk_int8=True)
     if moe:
         from ..pipelines.moe import WanMoEPipeline
         pipe = WanMoEPipeline(spec, dit_params[0], dit_params[1],

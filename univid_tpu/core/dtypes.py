@@ -37,6 +37,19 @@ class DTypePolicy:
     # halved VPU width), so this stays opt-in for other geometries and
     # is never defaulted; rel err vs the fp32 chain ~1.4e-2.
     softmax_bf16: bool = False
+    # int8 QK^T inside the flash kernel (SageAttention-style: per-row q /
+    # per-block k symmetric scales, quantized post-rope in the kernel).
+    # MEASURED NEGATIVE on v5e at the 1.3B 33k-token shape: 96.5 ms vs
+    # 90.6 ms bf16 at the pinned 2048/2048 blocks (tools/bench_attn.py,
+    # ATTN_QK_INT8=1). Root cause is structural, not tuning: the MXU's
+    # int8 2x rate comes from packing pairs along the CONTRACTION dim,
+    # and QK^T contracts over head_dim=128 — exactly one systolic pass
+    # either way — so the in-loop quantize + s32->f32 rescale is pure
+    # VPU overhead. (The W8A8 GEMM mode wins because its contractions
+    # are 1536-8960.) Kept opt-in for future hardware; same Pallas-only
+    # scope as softmax_bf16 (training vjp + XLA/ring keep bf16 QK^T).
+    # Quality gate: qk_int8 row of tools/quality_sweep.py (QS_QK_INT8=1).
+    qk_int8: bool = False
 
 
 DEFAULT_POLICY = DTypePolicy()

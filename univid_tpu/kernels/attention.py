@@ -139,10 +139,10 @@ def _zero_cot(x):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15))
+                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16))
 def _flash(q, k, v, kv_len, q_segments, kv_segments, q_offsets,
            causal, q_offset, softmax_scale, block_q, block_k, packed_mode,
-           softmax_bf16, bwd_block_q, bwd_block_k):
+           softmax_bf16, bwd_block_q, bwd_block_k, qk_int8):
     """Differentiable Pallas flash attention over PADDED inputs.
 
     Forward = the plain kernel; the VJP rule re-runs the forward with
@@ -155,12 +155,15 @@ def _flash(q, k, v, kv_len, q_segments, kv_segments, q_offsets,
         q_segments=q_segments, kv_segments=kv_segments,
         softmax_scale=softmax_scale, block_q=block_q, block_k=block_k,
         packed_mode=packed_mode, q_offsets=q_offsets,
-        softmax_bf16=softmax_bf16)
+        softmax_bf16=softmax_bf16, qk_int8=qk_int8)
 
 
 def _flash_fwd(q, k, v, kv_len, q_segments, kv_segments, q_offsets,
                causal, q_offset, softmax_scale, block_q, block_k,
-               packed_mode, softmax_bf16, bwd_block_q, bwd_block_k):
+               packed_mode, softmax_bf16, bwd_block_q, bwd_block_k,
+               qk_int8):
+    # qk_int8 (like softmax_bf16) is an INFERENCE knob: the training
+    # forward keeps exact bf16 QK^T so lse/backward stay fp32-consistent
     # the residual-saving forward carries an extra f32 lse output; at
     # block_q=2048 the fp32 [bq, bk] score tile + lse double-buffering
     # exceed the 16 MB scoped-VMEM budget (v5e), so cap the training
@@ -179,7 +182,7 @@ def _flash_fwd(q, k, v, kv_len, q_segments, kv_segments, q_offsets,
 
 def _flash_bwd(causal, q_offset, softmax_scale, block_q, block_k,
                packed_mode, softmax_bf16, bwd_block_q, bwd_block_k,
-               res, g):
+               qk_int8, res, g):
     q, k, v, o, lse, kv_len, q_segments, kv_segments, q_offsets = res
     dq, dk, dv = flash_attention_bwd_padded(
         q, k, v, o, lse, g, causal=causal, q_offset=q_offset, kv_len=kv_len,
@@ -197,7 +200,7 @@ def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
               q_segments=None, kv_segments=None, softmax_scale=None,
               block_q=None, block_k=None, packed_mode=False,
               q_offsets=None, softmax_bf16=False, rope_tables=None,
-              bwd_block_q=None, bwd_block_k=None):
+              bwd_block_q=None, bwd_block_k=None, qk_int8=False):
     """Multi-head attention over [B, L, N, D] tensors.
 
     Default block sizes auto-tune by sequence length: the v5e sweep
@@ -283,7 +286,8 @@ def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
             q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len,
             softmax_scale=softmax_scale, block_q=block_q,
             block_k=block_k, q_offsets=q_offsets,
-            softmax_bf16=softmax_bf16, rope_tables=rope_tables)
+            softmax_bf16=softmax_bf16, rope_tables=rope_tables,
+            qk_int8=qk_int8)
         return o[:, :lq]
 
     # backward kernel tiles (only used when this call is differentiated):
@@ -298,5 +302,6 @@ def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
         bwd_block_k = 2048 if lk >= 4096 else 512
     o = _flash(q, k, v, kv_len, q_segments, kv_segments, q_offsets,
                causal, q_offset, softmax_scale, block_q, block_k,
-               packed_mode, softmax_bf16, bwd_block_q, bwd_block_k)
+               packed_mode, softmax_bf16, bwd_block_q, bwd_block_k,
+               qk_int8)
     return o[:, :lq]

@@ -57,6 +57,7 @@ def _flash_kernel(
     save_residuals: bool,
     softmax_bf16: bool,
     fused_rope: bool,
+    qk_int8: bool,
 ):
     idx = 0
     scalar_ref = None
@@ -79,11 +80,13 @@ def _flash_kernel(
     if save_residuals:
         lse_ref = refs[idx]
         idx += 1
-    if fused_rope:
-        m_scr, l_scr, acc_scr, q_scr = refs[idx:idx + 4]
-    else:
-        m_scr, l_scr, acc_scr = refs[idx:idx + 3]
-        q_scr = None
+    m_scr, l_scr, acc_scr = refs[idx:idx + 3]
+    idx += 3
+    q_scr = qi_scr = sq_scr = None
+    if qk_int8:
+        qi_scr, sq_scr = refs[idx:idx + 2]  # int8 q tile + per-row scale
+    elif fused_rope:
+        q_scr = refs[idx]
 
     i_q = pl.program_id(1)
     i_k = pl.program_id(2)
@@ -112,7 +115,22 @@ def _flash_kernel(
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
-        if fused_rope:
+        if qk_int8:
+            # int8 QK^T mode (SageAttention-style): quantize the q tile
+            # ONCE per q block with per-row symmetric scales. Any prefix
+            # scale (softmax_scale*log2e folded into q by the wrapper, or
+            # into the fused-rope q tables) is absorbed by the row scale.
+            # Wan's qk-norm (RMS-normalized q/k rows) keeps per-row /
+            # per-block granularity near-lossless here.
+            if fused_rope:
+                q32 = _rot(q_ref[0].astype(jnp.float32), cq_ref, sq_ref)
+            else:
+                q32 = q_ref[0].astype(jnp.float32)
+            aq = jnp.maximum(jnp.max(jnp.abs(q32), axis=-1,
+                                     keepdims=True), 1e-30)  # [bq, 1]
+            qi_scr[:] = jnp.round(q32 * (127.0 / aq)).astype(jnp.int8)
+            sq_scr[:] = jnp.broadcast_to(aq * (1.0 / 127.0), sq_scr.shape)
+        elif fused_rope:
             q_scr[:] = _rot(q_ref[0].astype(jnp.float32), cq_ref,
                             sq_ref).astype(q_scr.dtype)
 
@@ -169,18 +187,38 @@ def _flash_kernel(
         return s
 
     def _compute(mask_kv, mask_causal):
-        if fused_rope:
-            q = q_scr[:]  # rotated + scale-folded at i_k == 0
-            k = _rot(k_ref[0].astype(jnp.float32), ck_ref,
-                     sk_ref).astype(v_ref.dtype)
-        else:
-            q = q_ref[0]  # [bq, d] — scale pre-folded by the wrapper
-            k = k_ref[0]  # [bk, d]
         v = v_ref[0]  # [bk, d]
+        if qk_int8:
+            # quantize the (rotated) k tile with ONE per-block scalar
+            # scale — qk-norm bounds every k row to the same RMS, so the
+            # scalar loses almost nothing vs per-row scales and keeps the
+            # s rescale a single [bq,1]-broadcast multiply (no [1,bk]
+            # lane-vector relayout). NOTE: measured SLOWER than bf16 on
+            # v5e (core/dtypes.py) — the d=128 contraction is one MXU
+            # pass in either dtype, so this trades nothing for VPU work.
+            if fused_rope:
+                k32 = _rot(k_ref[0].astype(jnp.float32), ck_ref, sk_ref)
+            else:
+                k32 = k_ref[0].astype(jnp.float32)
+            ak = jnp.maximum(jnp.max(jnp.abs(k32)), 1e-30)
+            ki = jnp.round(k32 * (127.0 / ak)).astype(jnp.int8)
+            s32 = jax.lax.dot_general(
+                qi_scr[:], ki, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)  # [bq, bk]
+            s = s32.astype(jnp.float32) \
+                * (sq_scr[:, :1] * (ak * (1.0 / 127.0)))
+        else:
+            if fused_rope:
+                q = q_scr[:]  # rotated + scale-folded at i_k == 0
+                k = _rot(k_ref[0].astype(jnp.float32), ck_ref,
+                         sk_ref).astype(v_ref.dtype)
+            else:
+                q = q_ref[0]  # [bq, d] — scale pre-folded by the wrapper
+                k = k_ref[0]  # [bk, d]
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [bq, bk]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [bq, bk]
 
         if mask_kv or mask_causal or has_segments:
             s = _mask_scores_fwd(s, mask_kv)
@@ -308,6 +346,7 @@ def flash_attention_padded(
     save_residuals: bool = False,
     softmax_bf16: bool = False,
     rope_tables=None,  # build_fused_rope_tables output -> fused prologue
+    qk_int8: bool = False,  # int8 QK^T (per-row q / per-block k scales)
 ) -> jnp.ndarray:
     if interpret is None:
         interpret = _INTERPRET
@@ -395,14 +434,19 @@ def flash_attention_padded(
         q_offset=q_offset, has_scalars=has_scalars, has_kv_len=has_kv_len,
         has_q_offsets=has_q_offsets, has_segments=has_segments,
         packed_mode=packed_mode, save_residuals=save_residuals,
-        softmax_bf16=softmax_bf16, fused_rope=fused_rope)
+        softmax_bf16=softmax_bf16, fused_rope=fused_rope,
+        qk_int8=qk_int8)
 
     scratch_shapes = [
         pltpu.VMEM((block_q, 128), jnp.float32),  # running max
         pltpu.VMEM((block_q, 128), jnp.float32),  # running denominator
         pltpu.VMEM((block_q, d), jnp.float32),    # output accumulator
     ]
-    if fused_rope:
+    if qk_int8:
+        # int8 q tile + per-row scale, computed once per q block
+        scratch_shapes.append(pltpu.VMEM((block_q, d), jnp.int8))
+        scratch_shapes.append(pltpu.VMEM((block_q, 128), jnp.float32))
+    elif fused_rope:
         # rotated+scaled q tile, computed once per q block
         scratch_shapes.append(pltpu.VMEM((block_q, d), q.dtype))
 

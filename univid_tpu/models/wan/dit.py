@@ -288,11 +288,13 @@ def _blocks_and_head(params, cfg: WanDiTConfig, h, e, e0, ctx,
             attn = ulysses_attention(q, k, v, sp_axis,
                                      kv_len=self_kv_len,
                                      rope_tables=rope_tabs,
-                                     softmax_bf16=policy.softmax_bf16)
+                                     softmax_bf16=policy.softmax_bf16,
+                                     qk_int8=policy.qk_int8)
         else:
             attn = attention(q, k, v, kv_len=self_kv_len,
                              rope_tables=rope_tabs,
-                             softmax_bf16=policy.softmax_bf16)
+                             softmax_bf16=policy.softmax_bf16,
+                             qk_int8=policy.qk_int8)
         # named for the 'attn' remat policy: saving just this tensor
         # (~100 MB/block at 33k tokens) lets the backward skip
         # re-running the flash forward while everything else remats.

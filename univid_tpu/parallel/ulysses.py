@@ -24,7 +24,8 @@ from ..kernels.attention import attention
 def ulysses_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       axis_name: str, *, kv_len: Optional[jnp.ndarray] = None,
                       causal: bool = False, rope_tables=None,
-                      softmax_bf16: bool = False) -> jnp.ndarray:
+                      softmax_bf16: bool = False,
+                      qk_int8: bool = False) -> jnp.ndarray:
     """Full-sequence attention over seq-sharded q/k/v [B, L/sp, N, D].
 
     Returns [B, L/sp, N, D] (same sharding as input).
@@ -44,7 +45,8 @@ def ulysses_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     vg = jax.lax.all_to_all(v, axis_name, split_axis=2, concat_axis=1,
                             tiled=True)
     o = attention(qg, kg, vg, kv_len=kv_len, causal=causal,
-                  rope_tables=rope_tables, softmax_bf16=softmax_bf16)
+                  rope_tables=rope_tables, softmax_bf16=softmax_bf16,
+                  qk_int8=qk_int8)
     # inverse: gather heads, scatter sequence
     return jax.lax.all_to_all(o, axis_name, split_axis=1, concat_axis=2,
                               tiled=True)

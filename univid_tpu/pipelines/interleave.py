@@ -422,6 +422,23 @@ class InterleaveInferencer:
             text_temperature=text_temperature, rng=rng)
         return {"text": out[0] if out else "", "image": None}
 
+    def chat(self, images: List[jnp.ndarray], prompt: str,
+             max_length: int = 500, do_sample: bool = False,
+             temperature: float = 1.0, rng=None) -> str:
+        """Image(s)+prompt -> answer text — the reference Bagel.chat()
+        eval helper (models/BAGEL/modeling/bagel/bagel.py:1003-1075):
+        ViT-tower-only image contexts (understanding path, no VAE rows),
+        then the prompt, then greedy/sampled AR decode, returning the
+        assistant span with the bos/eos framing stripped (the reference's
+        im_start/im_end split)."""
+        ctx = self.init_gen_context()
+        for image in images:
+            ctx = self.update_context_image(image, ctx, vae=False)
+        ctx = self.update_context_text(prompt, ctx)
+        return self.gen_text(ctx, max_length=max_length,
+                             do_sample=do_sample, temperature=temperature,
+                             rng=rng)
+
     def __call__(self, image=None, text: Optional[str] = None, **kwargs
                  ) -> Dict[str, Any]:
         result = {"image": None, "text": None}

@@ -139,6 +139,12 @@ def measure(model: str, w: int, h: int, frames: int, steps_measured: int,
         # geometries; NOT a default.
         import dataclasses
         policy = dataclasses.replace(policy, softmax_bf16=True)
+    if os.environ.get("BENCH_BOUNDED", "0") == "1":
+        # bounded softmax: static qk-norm-derived score bound replaces
+        # the flash kernel's running max (mathematically exact — the
+        # reference point cancels in acc/l; see core/dtypes.py).
+        import dataclasses
+        policy = dataclasses.replace(policy, bounded_softmax=True)
     if os.environ.get("BENCH_QK_INT8", "0") == "1":
         # int8 QK^T flash kernel (per-row q / per-block k scales).
         # MEASURED NEGATIVE on v5e (96.5 vs 90.6 ms at the 1.3B kernel

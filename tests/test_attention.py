@@ -364,3 +364,117 @@ def test_qk_int8_with_kv_len_and_fused_rope():
     # between the two kernels where p underflows identically — sanity
     # check finiteness everywhere instead of exact equality
     assert np.isfinite(bq_).all()
+
+def test_bounded_softmax_exact():
+    """Bounded-softmax kernel (static score bound instead of a running
+    max) == the dynamic-max kernel to fp32 rounding: the softmax
+    reference point is pinned at a proven upper bound and the constant
+    cancels in acc/l — exact math, not an approximation."""
+    import jax
+    import jax.numpy as jnp
+    import math
+
+    b, l, n, d = 2, 256, 2, 128
+    key = jax.random.PRNGKey(7)
+    q, k, v = (jax.random.normal(kk, (b, l, n, d), jnp.float32)
+               for kk in jax.random.split(key, 3))
+    # qk-normed rows (the Wan case): row norm == sqrt(d)
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True) * d ** 0.5
+    k = k / jnp.linalg.norm(k, axis=-1, keepdims=True) * d ** 0.5
+    base = flash_attention_padded(q, k, v, block_q=128, block_k=128,
+                                  interpret=True)
+    # folded-domain bound: raw |q.k| <= d, x softmax_scale * log2(e)
+    fb = jnp.float32(1.01 * d * (1.0 / d ** 0.5) * math.log2(math.e))
+    bd = flash_attention_padded(q, k, v, block_q=128, block_k=128,
+                                interpret=True, score_bound=fb)
+    np.testing.assert_allclose(np.asarray(bd), np.asarray(base),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_bounded_softmax_with_fused_rope_and_kv_len():
+    """score_bound composes with the fused-rope prologue (rope preserves
+    row norms, so the bound holds post-rotation) and kv_len masking
+    (NEG_INF scores underflow exp2 to 0 without a running max). Also
+    checks the save_residuals lse (= bound + log2(l)) against the
+    dynamic-max kernel's."""
+    import jax
+    import jax.numpy as jnp
+    import math
+
+    from univid_tpu.kernels.flash_attention import build_fused_rope_tables
+    from univid_tpu.ops.rope import build_rope_3d
+
+    b, l, n, d = 2, 256, 2, 128
+    key = jax.random.PRNGKey(8)
+    q, k, v = (jax.random.normal(kk, (b, l, n, d), jnp.float32)
+               for kk in jax.random.split(key, 3))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True) * d ** 0.5
+    k = k / jnp.linalg.norm(k, axis=-1, keepdims=True) * d ** 0.5
+    cos, sin = build_rope_3d(d, (4, 8, 8))
+    tabs = build_fused_rope_tables(cos, sin, d)
+    kv_len = jnp.array([200, 97], jnp.int32)
+    fb = jnp.float32(1.01 * d * (1.0 / d ** 0.5) * math.log2(math.e))
+    base = flash_attention_padded(q, k, v, block_q=128, block_k=128,
+                                  interpret=True, rope_tables=tabs,
+                                  kv_len=kv_len)
+    bd = flash_attention_padded(q, k, v, block_q=128, block_k=128,
+                                interpret=True, rope_tables=tabs,
+                                kv_len=kv_len, score_bound=fb)
+    np.testing.assert_allclose(np.asarray(bd), np.asarray(base),
+                               rtol=2e-5, atol=2e-5)
+    ob, lseb = flash_attention_padded(
+        q, k, v, block_q=128, block_k=128, interpret=True,
+        kv_len=kv_len, save_residuals=True)
+    od, lsed = flash_attention_padded(
+        q, k, v, block_q=128, block_k=128, interpret=True,
+        kv_len=kv_len, save_residuals=True, score_bound=fb)
+    np.testing.assert_allclose(np.asarray(od), np.asarray(ob),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lsed), np.asarray(lseb),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bounded_softmax_dit_forward_parity():
+    """bounded_softmax policy on a tiny DiT (pallas interpret backend,
+    so the real per-layer gain-derived bounds flow into the kernel for
+    both self- and cross-attention) == default policy output."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    import univid_tpu.kernels.flash_attention as fa
+    from univid_tpu.core.dtypes import DTypePolicy
+    from univid_tpu.models.wan.dit import (WanDiTConfig, init_wan_dit,
+                                           wan_dit_forward)
+    from univid_tpu.ops.rope import build_rope_3d
+
+    cfg = WanDiTConfig(dim=256, ffn_dim=512, num_heads=2, num_layers=2,
+                       in_dim=16, out_dim=16, text_dim=32, freq_dim=32,
+                       text_len=8, patch_size=(1, 2, 2), qk_norm=True,
+                       cross_attn_norm=True)
+    params = init_wan_dit(jax.random.PRNGKey(0), cfg,
+                          param_dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 8, 8, 16),
+                          jnp.float32)
+    t = jnp.array([500.0], jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 32),
+                            jnp.float32)
+    pol = DTypePolicy(compute_dtype=jnp.float32)
+
+    cos, sin = build_rope_3d(cfg.dim // cfg.num_heads, (4, 4, 4))
+
+    def run(policy):
+        set_attention_backend("pallas")
+        fa.set_interpret_mode(True)
+        try:
+            return wan_dit_forward(params, cfg, x, t, ctx, cos, sin,
+                                   policy=policy)
+        finally:
+            fa.set_interpret_mode(False)
+            set_attention_backend(None)
+
+    base = run(pol)
+    bd = run(dataclasses.replace(pol, bounded_softmax=True))
+    np.testing.assert_allclose(np.asarray(bd), np.asarray(base),
+                               rtol=2e-5, atol=2e-5)

@@ -86,11 +86,18 @@ def sweep(name, b, l, n, d, iters):
             # divide the block (the wrapper pads + masks); kvlen=False
             # isolates the mask predicate's VPU cost
             kv_len = jnp.full((b,), l, jnp.int32) if use_kvlen else None
+            # ATTN_BOUND=1: bounded-softmax kernel (static score bound
+            # instead of a running max — timing is value-independent,
+            # and these inputs aren't qk-normed so outputs are garbage;
+            # correctness is pinned in tests/test_attention.py)
+            sb = jnp.float32(float(d)) \
+                if os.environ.get("ATTN_BOUND", "0") == "1" else None
             fn = jax.jit(functools.partial(
                 attention, block_q=bq, block_k=bk, kv_len=kv_len,
                 softmax_bf16=os.environ.get("ATTN_BF16_SOFTMAX",
                                             "0") == "1",
-                qk_int8=os.environ.get("ATTN_QK_INT8", "0") == "1"))
+                qk_int8=os.environ.get("ATTN_QK_INT8", "0") == "1",
+                score_bound=sb))
             try:
                 dt = bench(fn, q, k, v, iters=iters)
             except Exception as e:  # noqa: BLE001

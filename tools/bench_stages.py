@@ -92,10 +92,15 @@ def main():
     from univid_tpu.kernels.flash_attention import build_fused_rope_tables
     tabs = build_fused_rope_tables(jnp.asarray(cos), jnp.asarray(sin), dh)
 
+    # STAGE_BOUND=1: bounded-softmax kernel (static qk-norm score bound,
+    # exact math — see core/dtypes.py); value-independent timing
+    sb = jnp.float32(float(dh)) \
+        if os.environ.get("STAGE_BOUND", "0") == "1" else None
+
     @jax.jit
     def self_attn(q):
         qh = q.reshape(b, seq, n_heads, dh)
-        o = attention(qh, qh, qh, rope_tables=tabs)
+        o = attention(qh, qh, qh, rope_tables=tabs, score_bound=sb)
         return o.reshape(b, seq, d).astype(jnp.bfloat16)
 
     rows["self_attn"] = bench(self_attn, x, iters)

@@ -133,6 +133,14 @@ def main():
         import dataclasses
         variants["qk_int8"] = run(dataclasses.replace(
             BF16_RESIDUAL_POLICY, qk_int8=True))
+    if os.environ.get("QS_BOUNDED", "0") == "1":
+        # bounded softmax (static qk-norm-derived score bound instead of
+        # a running max — mathematically EXACT, see core/dtypes.py).
+        # Gate exists as evidence that the full-program PSNR is pinned
+        # at the bf16_residual number, not as an approximation gate.
+        import dataclasses
+        variants["bounded_softmax"] = run(dataclasses.replace(
+            BF16_RESIDUAL_POLICY, bounded_softmax=True))
     if os.environ.get("QS_INT8", "1") != "0":
         # int8 W8A8 serving mode: per-block GEMMs quantized (dynamic
         # per-token activation scales), embeds/AdaLN/head bf16

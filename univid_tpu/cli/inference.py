@@ -109,6 +109,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "Pallas-only scope like --bf16_softmax. "
                         "Quality gate: qk_int8 row of "
                         "tools/quality_sweep.py")
+    p.add_argument("--bounded_softmax", action="store_true",
+                   help="bounded-softmax flash kernel: the qk-norm "
+                        "gains bound the raw scores by d * max|g_q| * "
+                        "max|g_k| (rope preserves row norms), so the "
+                        "kernel pins the online-softmax reference "
+                        "point there instead of tracking a running "
+                        "max — mathematically EXACT (the constant "
+                        "cancels in acc/l), drops the max reduce / "
+                        "correction / rescale per kv block. "
+                        "Pallas-only scope like --bf16_softmax.")
     p.add_argument("--solver", type=str, default="unipc",
                    choices=["unipc", "dpm++", "dpm++3"])
     # TPU-specific
@@ -223,6 +233,9 @@ def build_pipeline(args):
     if getattr(args, "qk_int8", False):
         import dataclasses
         policy = dataclasses.replace(policy, qk_int8=True)
+    if getattr(args, "bounded_softmax", False):
+        import dataclasses
+        policy = dataclasses.replace(policy, bounded_softmax=True)
     if moe:
         from ..pipelines.moe import WanMoEPipeline
         pipe = WanMoEPipeline(spec, dit_params[0], dit_params[1],

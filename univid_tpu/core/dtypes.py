@@ -50,6 +50,18 @@ class DTypePolicy:
     # scope as softmax_bf16 (training vjp + XLA/ring keep bf16 QK^T).
     # Quality gate: qk_int8 row of tools/quality_sweep.py (QS_QK_INT8=1).
     qk_int8: bool = False
+    # bounded softmax: Wan's qk-norm (RMSNorm with learned gains on the
+    # q/k rows, dit.py _attn_qkv) bounds the raw scores by
+    # d * max|g_q| * max|g_k| EXACTLY (rope is a per-pair rotation —
+    # norm-preserving), so the flash kernel can pin the online-softmax
+    # reference point at that bound instead of tracking a running max:
+    # exp2(s - C) with the constant cancelling in acc/l. Mathematically
+    # exact (same softmax, different reference point; fp32 relative
+    # precision is exponent-absorbed), it removes the [bq, bk] max
+    # reduce, the correction exp2 and the accumulator rescale from
+    # every kv-block iteration. Inference-only scope like softmax_bf16
+    # (Pallas path; training vjp and XLA fallback keep the max chain).
+    bounded_softmax: bool = False
 
 
 DEFAULT_POLICY = DTypePolicy()

@@ -200,7 +200,8 @@ def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
               q_segments=None, kv_segments=None, softmax_scale=None,
               block_q=None, block_k=None, packed_mode=False,
               q_offsets=None, softmax_bf16=False, rope_tables=None,
-              bwd_block_q=None, bwd_block_k=None, qk_int8=False):
+              bwd_block_q=None, bwd_block_k=None, qk_int8=False,
+              score_bound=None):
     """Multi-head attention over [B, L, N, D] tensors.
 
     Default block sizes auto-tune by sequence length: the v5e sweep
@@ -208,7 +209,14 @@ def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
     timing) measured 37-52% MFU at small tiles vs 60.9% at (1024, 1024)
     and 69.1% at (2048, 2048) — softmax VPU overhead and m/l correction
     steps amortize over larger tiles (needs the 64 MiB scoped-vmem
-    limit)."""
+    limit).
+
+    score_bound: optional scalar — a PROVEN upper bound on the RAW
+    (unscaled) q.k scores, e.g. d * max|g_q| * max|g_k| for qk-normed
+    towers (rope preserves row norms). Enables the bounded-softmax
+    kernel: exp2(s - C) with no running max / correction / rescale —
+    mathematically exact, inference-only (like rope_tables; the XLA
+    fallback ignores it: exact softmax either way)."""
     b, lq, n, d = q.shape
     lk = k.shape[1]
     # head dims that aren't lane-multiples (e.g. SigLIP so400m d=72)
@@ -278,16 +286,28 @@ def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
                                   ((0, 0), (0, lk_pad - lk)),
                                   constant_values=-2)
 
-    if rope_tables is not None:
-        # fused-rope prologue: INFERENCE-ONLY fast path (the custom_vjp
-        # below differentiates the rotated-inputs formulation; training
-        # code applies rope in XLA and leaves rope_tables unset)
+    if rope_tables is not None or score_bound is not None:
+        # fused-rope / bounded-softmax prologue: INFERENCE-ONLY fast
+        # path (the custom_vjp below differentiates the rotated-inputs
+        # formulation; training code applies rope in XLA and leaves
+        # rope_tables/score_bound unset)
+        folded_bound = None
+        if score_bound is not None:
+            # kernel scores carry softmax_scale * log2(e) (folded into
+            # q or the q rope tables) — convert the raw-score bound
+            sc = softmax_scale if softmax_scale is not None \
+                else 1.0 / math.sqrt(d)
+            folded_bound = jnp.asarray(score_bound, jnp.float32) \
+                * (sc * math.log2(math.e))
         o = flash_attention_padded(
             q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len,
             softmax_scale=softmax_scale, block_q=block_q,
             block_k=block_k, q_offsets=q_offsets,
             softmax_bf16=softmax_bf16, rope_tables=rope_tables,
-            qk_int8=qk_int8)
+            qk_int8=qk_int8, score_bound=folded_bound,
+            q_segments=q_segments if rope_tables is None else None,
+            kv_segments=kv_segments if rope_tables is None else None,
+            packed_mode=packed_mode if rope_tables is None else False)
         return o[:, :lq]
 
     # backward kernel tiles (only used when this call is differentiated):

@@ -58,6 +58,7 @@ def _flash_kernel(
     softmax_bf16: bool,
     fused_rope: bool,
     qk_int8: bool,
+    static_max: bool,
 ):
     idx = 0
     scalar_ref = None
@@ -66,6 +67,10 @@ def _flash_kernel(
         idx += 1
     q_ref, k_ref, v_ref = refs[idx:idx + 3]
     idx += 3
+    bound_ref = None
+    if static_max:
+        bound_ref = refs[idx]  # [1, 1] f32 SMEM: score upper bound
+        idx += 1
     cq_ref = sq_ref = ck_ref = sk_ref = None
     if fused_rope:
         cq_ref, sq_ref, ck_ref, sk_ref = refs[idx:idx + 4]
@@ -80,8 +85,19 @@ def _flash_kernel(
     if save_residuals:
         lse_ref = refs[idx]
         idx += 1
-    m_scr, l_scr, acc_scr = refs[idx:idx + 3]
-    idx += 3
+    if static_max:
+        # bounded-softmax mode: no running max — softmax is computed as
+        # exp2(s - C) for a PROVEN upper bound C on the (folded) scores
+        # (Wan qk-norm: |q.k| <= d * max|g_q| * max|g_k|, rope is
+        # norm-preserving). Mathematically EXACT — the constant cancels
+        # in acc/l — it just pins the online-softmax reference point so
+        # the max reduce, correction exp2 and acc rescale all vanish.
+        m_scr = None
+        l_scr, acc_scr = refs[idx:idx + 2]
+        idx += 2
+    else:
+        m_scr, l_scr, acc_scr = refs[idx:idx + 3]
+        idx += 3
     q_scr = qi_scr = sq_scr = None
     if qk_int8:
         qi_scr, sq_scr = refs[idx:idx + 2]  # int8 q tile + per-row scale
@@ -112,7 +128,8 @@ def _flash_kernel(
 
     @pl.when(i_k == 0)
     def _init():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        if not static_max:
+            m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
         if qk_int8:
@@ -233,6 +250,20 @@ def _flash_kernel(
             # p — the same order as the bf16 PV matmul below. Masked
             # NEG_INF survives the cast (bf16 keeps fp32's exponent).
             s = s.astype(jnp.bfloat16)
+        if static_max:
+            # exp2(s - C): exact softmax with the reference point pinned
+            # at the proven score bound C (exp2 argument <= ~0, so no
+            # overflow; fp32's exponent range makes far-below-max terms
+            # underflow to 0 exactly as the max-subtracted chain does).
+            # No m bookkeeping, no correction, no acc rescale.
+            p = jnp.exp2(s - bound_ref[0, 0].astype(s.dtype))  # [bq, bk]
+            p_sum = jnp.sum(p, axis=-1, keepdims=True,
+                            dtype=jnp.float32)
+            l_scr[:] = l_scr[:] + jnp.broadcast_to(p_sum, l_scr.shape)
+            acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return
         m_prev = m_scr[:, :1]                       # [bq, 1] fp32
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur.astype(jnp.float32))
@@ -290,8 +321,9 @@ def _flash_kernel(
             # large POSITIVE sentinel so exp2(t - lse) underflows to 0
             # instead of producing inf/nan.
             lf = l_scr[:]
+            m_term = (bound_ref[0, 0] if static_max else m_scr[:])
             lse_ref[0] = jnp.where(
-                lf > 0.0, m_scr[:] + jnp.log2(jnp.where(lf > 0.0, lf, 1.0)),
+                lf > 0.0, m_term + jnp.log2(jnp.where(lf > 0.0, lf, 1.0)),
                 jnp.float32(-NEG_INF))
 
 
@@ -347,6 +379,9 @@ def flash_attention_padded(
     softmax_bf16: bool = False,
     rope_tables=None,  # build_fused_rope_tables output -> fused prologue
     qk_int8: bool = False,  # int8 QK^T (per-row q / per-block k scales)
+    score_bound=None,  # scalar f32: PROVEN upper bound on the FOLDED
+                       # (scale*log2e-multiplied) scores -> bounded
+                       # softmax, no running max (exact; see kernel)
 ) -> jnp.ndarray:
     if interpret is None:
         interpret = _INTERPRET
@@ -397,6 +432,12 @@ def flash_attention_padded(
     ]
     inputs = [qf, kf, vf]
 
+    static_max = score_bound is not None
+    if static_max:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(score_bound,
+                                  jnp.float32).reshape(1, 1))
+
     if fused_rope:
         tq_spec = pl.BlockSpec((block_q, d),
                                lambda ibn, iq, ik, *_: (iq, 0),
@@ -435,10 +476,13 @@ def flash_attention_padded(
         has_q_offsets=has_q_offsets, has_segments=has_segments,
         packed_mode=packed_mode, save_residuals=save_residuals,
         softmax_bf16=softmax_bf16, fused_rope=fused_rope,
-        qk_int8=qk_int8)
+        qk_int8=qk_int8, static_max=static_max)
 
-    scratch_shapes = [
-        pltpu.VMEM((block_q, 128), jnp.float32),  # running max
+    scratch_shapes = []
+    if not static_max:
+        scratch_shapes.append(
+            pltpu.VMEM((block_q, 128), jnp.float32))  # running max
+    scratch_shapes += [
         pltpu.VMEM((block_q, 128), jnp.float32),  # running denominator
         pltpu.VMEM((block_q, d), jnp.float32),    # output accumulator
     ]

@@ -273,6 +273,18 @@ def _blocks_and_head(params, cfg: WanDiTConfig, h, e, e0, ctx,
         y = _modulated(x32, sel(0), sel(1), cfg.eps)
         y = y.astype(policy.compute_dtype)
         q, k, v = _attn_qkv(bp["self_attn"], y, n, policy)
+        # bounded-softmax score bound (exact, see core/dtypes.py): qk-norm
+        # keeps every q/k row norm <= max|gain| * sqrt(d); rope preserves
+        # norms, so |q.k| <= d * max|g_q| * max|g_k|. The 1% margin
+        # absorbs bf16 rounding of the normalized rows (overshoot is
+        # harmless: exp2 args stay ~<= 0 either way).
+        bound = None
+        if policy.bounded_softmax and "norm_q" in bp["self_attn"]:
+            gq = jnp.max(jnp.abs(
+                bp["self_attn"]["norm_q"].astype(jnp.float32)))
+            gk = jnp.max(jnp.abs(
+                bp["self_attn"]["norm_k"].astype(jnp.float32)))
+            bound = 1.01 * cfg.head_dim * gq * gk
         if rope_tabs is None:
             q = apply_rope(q, rope_cos,
                            rope_sin).astype(policy.compute_dtype)
@@ -289,12 +301,14 @@ def _blocks_and_head(params, cfg: WanDiTConfig, h, e, e0, ctx,
                                      kv_len=self_kv_len,
                                      rope_tables=rope_tabs,
                                      softmax_bf16=policy.softmax_bf16,
-                                     qk_int8=policy.qk_int8)
+                                     qk_int8=policy.qk_int8,
+                                     score_bound=bound)
         else:
             attn = attention(q, k, v, kv_len=self_kv_len,
                              rope_tables=rope_tabs,
                              softmax_bf16=policy.softmax_bf16,
-                             qk_int8=policy.qk_int8)
+                             qk_int8=policy.qk_int8,
+                             score_bound=bound)
         # named for the 'attn' remat policy: saving just this tensor
         # (~100 MB/block at 33k tokens) lets the backward skip
         # re-running the flash forward while everything else remats.
@@ -332,8 +346,15 @@ def _blocks_and_head(params, cfg: WanDiTConfig, h, e, e0, ctx,
         q = q.reshape(b, l, n, dh)
         k = k.reshape(b, ctx_len, n, dh)
         v = v.reshape(b, ctx_len, n, dh)
+        cbound = None
+        if policy.bounded_softmax and "norm_q" in ca and "norm_k" in ca:
+            # same qk-norm bound as self-attention (no rope here)
+            cbound = 1.01 * dh \
+                * jnp.max(jnp.abs(ca["norm_q"].astype(jnp.float32))) \
+                * jnp.max(jnp.abs(ca["norm_k"].astype(jnp.float32)))
         attn = attention(q, k, v,
-                         softmax_bf16=policy.softmax_bf16
+                         softmax_bf16=policy.softmax_bf16,
+                         score_bound=cbound
                          ).reshape(b, l, cfg.dim)
         attn = nn.linear(ca["o"], attn, compute_dtype=policy.compute_dtype)
         x32 = x32 + attn.astype(rdt)

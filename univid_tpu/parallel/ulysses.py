@@ -25,7 +25,8 @@ def ulysses_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       axis_name: str, *, kv_len: Optional[jnp.ndarray] = None,
                       causal: bool = False, rope_tables=None,
                       softmax_bf16: bool = False,
-                      qk_int8: bool = False) -> jnp.ndarray:
+                      qk_int8: bool = False,
+                      score_bound=None) -> jnp.ndarray:
     """Full-sequence attention over seq-sharded q/k/v [B, L/sp, N, D].
 
     Returns [B, L/sp, N, D] (same sharding as input).
@@ -46,7 +47,7 @@ def ulysses_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                             tiled=True)
     o = attention(qg, kg, vg, kv_len=kv_len, causal=causal,
                   rope_tables=rope_tables, softmax_bf16=softmax_bf16,
-                  qk_int8=qk_int8)
+                  qk_int8=qk_int8, score_bound=score_bound)
     # inverse: gather heads, scatter sequence
     return jax.lax.all_to_all(o, axis_name, split_axis=1, concat_axis=2,
                               tiled=True)

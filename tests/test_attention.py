@@ -478,3 +478,35 @@ def test_bounded_softmax_dit_forward_parity():
     bd = run(dataclasses.replace(pol, bounded_softmax=True))
     np.testing.assert_allclose(np.asarray(bd), np.asarray(base),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_bounded_softmax_grad_parity():
+    """attention() with score_bound is differentiable through the
+    custom_vjp (bounded forward's lse feeds the same recompute-p
+    backward; d(out)/d(bound) == 0) and matches the XLA grads."""
+    import jax
+
+    q, k, v, g, _ = _grad_case("full", b=1, lq=128, lk=128, n=2, d=128)
+    # qk-normed rows so the bound d is valid
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True) * 128.0 ** 0.5
+    k = k / jnp.linalg.norm(k, axis=-1, keepdims=True) * 128.0 ** 0.5
+    sb = jnp.float32(1.01 * 128.0)
+
+    def loss(backend, bound):
+        set_attention_backend(backend)
+        try:
+            def f(q, k, v):
+                return jnp.sum(attention(q, k, v, score_bound=bound) * g)
+            return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        finally:
+            set_attention_backend(None)
+
+    fa.set_interpret_mode(True)
+    try:
+        got = loss("pallas", sb)
+    finally:
+        fa.set_interpret_mode(False)
+    ref = loss("xla", None)
+    for a, b_, name in zip(got, ref, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-3, err_msg=name)

@@ -139,8 +139,9 @@ def _zero_cot(x):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16))
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16, 17))
 def _flash(q, k, v, kv_len, q_segments, kv_segments, q_offsets,
+           score_bound,
            causal, q_offset, softmax_scale, block_q, block_k, packed_mode,
            softmax_bf16, bwd_block_q, bwd_block_k, qk_int8):
     """Differentiable Pallas flash attention over PADDED inputs.
@@ -149,16 +150,22 @@ def _flash(q, k, v, kv_len, q_segments, kv_segments, q_offsets,
     save_residuals to capture the exp2-domain lse, then runs the recompute-p
     dq / dkv Pallas backward kernels — giving training paths the same O(L)
     memory the reference gets from flash-attn varlen's backward
-    (BAGEL qwen2_navit.py:579-588, wan attention.py:94-127)."""
+    (BAGEL qwen2_navit.py:579-588, wan attention.py:94-127).
+
+    score_bound (FOLDED domain, may derive from differentiated qk-norm
+    gains) shifts the softmax reference point only — d(out)/d(bound) == 0
+    exactly, so its cotangent is zero."""
     return flash_attention_padded(
         q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len,
         q_segments=q_segments, kv_segments=kv_segments,
         softmax_scale=softmax_scale, block_q=block_q, block_k=block_k,
         packed_mode=packed_mode, q_offsets=q_offsets,
-        softmax_bf16=softmax_bf16, qk_int8=qk_int8)
+        softmax_bf16=softmax_bf16, qk_int8=qk_int8,
+        score_bound=score_bound)
 
 
 def _flash_fwd(q, k, v, kv_len, q_segments, kv_segments, q_offsets,
+               score_bound,
                causal, q_offset, softmax_scale, block_q, block_k,
                packed_mode, softmax_bf16, bwd_block_q, bwd_block_k,
                qk_int8):
@@ -170,27 +177,33 @@ def _flash_fwd(q, k, v, kv_len, q_segments, kv_segments, q_offsets,
     # forward at 1024 — the inference primal keeps the larger tile
     # the training forward keeps the fp32 softmax chain (softmax_bf16 is
     # an inference knob; the backward recompute derives p from the fp32
-    # exp2-domain lse)
+    # exp2-domain lse). score_bound IS honored here: the bounded
+    # forward's lse (= C + log2 l) feeds the same recompute-p backward —
+    # exact either way.
     bq = min(block_q, 1024)
     o, lse = flash_attention_padded(
         q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len,
         q_segments=q_segments, kv_segments=kv_segments,
         softmax_scale=softmax_scale, block_q=bq, block_k=block_k,
-        packed_mode=packed_mode, q_offsets=q_offsets, save_residuals=True)
-    return o, (q, k, v, o, lse, kv_len, q_segments, kv_segments, q_offsets)
+        packed_mode=packed_mode, q_offsets=q_offsets, save_residuals=True,
+        score_bound=score_bound)
+    return o, (q, k, v, o, lse, kv_len, q_segments, kv_segments, q_offsets,
+               score_bound)
 
 
 def _flash_bwd(causal, q_offset, softmax_scale, block_q, block_k,
                packed_mode, softmax_bf16, bwd_block_q, bwd_block_k,
                qk_int8, res, g):
-    q, k, v, o, lse, kv_len, q_segments, kv_segments, q_offsets = res
+    (q, k, v, o, lse, kv_len, q_segments, kv_segments, q_offsets,
+     score_bound) = res
     dq, dk, dv = flash_attention_bwd_padded(
         q, k, v, o, lse, g, causal=causal, q_offset=q_offset, kv_len=kv_len,
         q_segments=q_segments, kv_segments=kv_segments,
         softmax_scale=softmax_scale, packed_mode=packed_mode,
         q_offsets=q_offsets, block_q=bwd_block_q, block_k=bwd_block_k)
     return (dq, dk, dv, _zero_cot(kv_len), _zero_cot(q_segments),
-            _zero_cot(kv_segments), _zero_cot(q_offsets))
+            _zero_cot(kv_segments), _zero_cot(q_offsets),
+            _zero_cot(score_bound))
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -286,28 +299,26 @@ def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
                                   ((0, 0), (0, lk_pad - lk)),
                                   constant_values=-2)
 
-    if rope_tables is not None or score_bound is not None:
-        # fused-rope / bounded-softmax prologue: INFERENCE-ONLY fast
-        # path (the custom_vjp below differentiates the rotated-inputs
-        # formulation; training code applies rope in XLA and leaves
-        # rope_tables/score_bound unset)
-        folded_bound = None
-        if score_bound is not None:
-            # kernel scores carry softmax_scale * log2(e) (folded into
-            # q or the q rope tables) — convert the raw-score bound
-            sc = softmax_scale if softmax_scale is not None \
-                else 1.0 / math.sqrt(d)
-            folded_bound = jnp.asarray(score_bound, jnp.float32) \
-                * (sc * math.log2(math.e))
+    folded_bound = None
+    if score_bound is not None:
+        # kernel scores carry softmax_scale * log2(e) (folded into q or
+        # the q rope tables) — convert the raw-score bound once here
+        sc = softmax_scale if softmax_scale is not None \
+            else 1.0 / math.sqrt(d)
+        folded_bound = jnp.asarray(score_bound, jnp.float32) \
+            * (sc * math.log2(math.e))
+
+    if rope_tables is not None:
+        # fused-rope prologue: INFERENCE-ONLY fast path (the custom_vjp
+        # below differentiates the rotated-inputs formulation; training
+        # code applies rope in XLA and leaves rope_tables unset).
+        # score_bound composes here and in _flash below.
         o = flash_attention_padded(
             q, k, v, causal=causal, q_offset=q_offset, kv_len=kv_len,
             softmax_scale=softmax_scale, block_q=block_q,
             block_k=block_k, q_offsets=q_offsets,
             softmax_bf16=softmax_bf16, rope_tables=rope_tables,
-            qk_int8=qk_int8, score_bound=folded_bound,
-            q_segments=q_segments if rope_tables is None else None,
-            kv_segments=kv_segments if rope_tables is None else None,
-            packed_mode=packed_mode if rope_tables is None else False)
+            qk_int8=qk_int8, score_bound=folded_bound)
         return o[:, :lq]
 
     # backward kernel tiles (only used when this call is differentiated):
@@ -321,6 +332,7 @@ def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
     if bwd_block_k is None:
         bwd_block_k = 2048 if lk >= 4096 else 512
     o = _flash(q, k, v, kv_len, q_segments, kv_segments, q_offsets,
+               folded_bound,
                causal, q_offset, softmax_scale, block_q, block_k,
                packed_mode, softmax_bf16, bwd_block_q, bwd_block_k,
                qk_int8)

@@ -510,3 +510,47 @@ def test_bounded_softmax_grad_parity():
     for a, b_, name in zip(got, ref, ("dq", "dk", "dv")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_cache_rot_k_matches_per_visit_rotation():
+    """cache_rot_k (rotate each k tile once at i_q == 0 into a VMEM
+    cache) == the per-(i_q, i_k)-visit rotation path, including kv_len
+    tails and composition with the bounded softmax."""
+    import jax
+    import math
+
+    from univid_tpu.kernels.flash_attention import build_fused_rope_tables
+    from univid_tpu.ops.rope import build_rope_3d
+
+    b, l, n, d = 2, 512, 2, 128
+    key = jax.random.PRNGKey(9)
+    q, k, v = (jax.random.normal(kk, (b, l, n, d), jnp.float32)
+               for kk in jax.random.split(key, 3))
+    cos, sin = build_rope_3d(d, (8, 8, 8))
+    tabs = build_fused_rope_tables(cos, sin, d)
+    kv_len = jnp.array([400, 129], jnp.int32)
+    base = flash_attention_padded(q, k, v, block_q=128, block_k=128,
+                                  interpret=True, rope_tables=tabs,
+                                  kv_len=kv_len)
+    kc = flash_attention_padded(q, k, v, block_q=128, block_k=128,
+                                interpret=True, rope_tables=tabs,
+                                kv_len=kv_len, cache_rot_k=True)
+    np.testing.assert_allclose(np.asarray(kc), np.asarray(base),
+                               rtol=2e-5, atol=2e-5)
+    # a realistic folded bound: raw |q.k| max for these gaussian rows is
+    # well under 80, folded 80 * scale * log2e ~ 10.2 — near the actual
+    # score max so p stays in normal fp32 range (a trivially-huge bound
+    # would underflow BOTH paths to zeros and prove nothing)
+    fb = jnp.float32(80.0 * (1.0 / d ** 0.5) * math.log2(math.e))
+    both = flash_attention_padded(q, k, v, block_q=128, block_k=128,
+                                  interpret=True, rope_tables=tabs,
+                                  kv_len=kv_len, cache_rot_k=True,
+                                  score_bound=fb)
+    bd = flash_attention_padded(q, k, v, block_q=128, block_k=128,
+                                interpret=True, rope_tables=tabs,
+                                kv_len=kv_len, score_bound=fb)
+    assert float(jnp.abs(both).max()) > 0  # non-degenerate comparison
+    np.testing.assert_allclose(np.asarray(both), np.asarray(bd),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(bd), np.asarray(base),
+                               rtol=2e-4, atol=2e-4)

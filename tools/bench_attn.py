@@ -37,6 +37,18 @@ BLOCKS = [(512, 512), (512, 1024), (1024, 512), (1024, 1024),
           (1024, 2048), (2048, 1024), (2048, 512), (2048, 2048)]
 
 
+@functools.lru_cache(maxsize=4)
+def _rope_tabs(l, d):
+    """Fused-rope tables for the sweep (ATTN_ROPE / ATTN_KROT modes) —
+    a 3D grid factorization close to the 1.3B bench shape."""
+    from univid_tpu.kernels.flash_attention import build_fused_rope_tables
+    from univid_tpu.ops.rope import build_rope_3d
+    f = max(l // (30 * 52), 1)
+    cos, sin = build_rope_3d(d, (f, 30, 52))
+    return build_fused_rope_tables(jnp.asarray(cos)[:l],
+                                   jnp.asarray(sin)[:l], d)
+
+
 def _sync(x):
     """Force real completion: scalar D2H readback from EVERY output
     leaf. Through the TPU tunnel (axon), jax.block_until_ready is a
@@ -97,7 +109,12 @@ def sweep(name, b, l, n, d, iters):
                 softmax_bf16=os.environ.get("ATTN_BF16_SOFTMAX",
                                             "0") == "1",
                 qk_int8=os.environ.get("ATTN_QK_INT8", "0") == "1",
-                score_bound=sb))
+                score_bound=sb,
+                cache_rot_k=os.environ.get("ATTN_KROT", "0") == "1",
+                rope_tables=_rope_tabs(l, d)
+                if (os.environ.get("ATTN_KROT", "0") == "1"
+                    or os.environ.get("ATTN_ROPE", "0") == "1")
+                else None))
             try:
                 dt = bench(fn, q, k, v, iters=iters)
             except Exception as e:  # noqa: BLE001

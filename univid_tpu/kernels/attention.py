@@ -214,7 +214,7 @@ def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
               block_q=None, block_k=None, packed_mode=False,
               q_offsets=None, softmax_bf16=False, rope_tables=None,
               bwd_block_q=None, bwd_block_k=None, qk_int8=False,
-              score_bound=None):
+              score_bound=None, cache_rot_k=False):
     """Multi-head attention over [B, L, N, D] tensors.
 
     Default block sizes auto-tune by sequence length: the v5e sweep
@@ -318,7 +318,8 @@ def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
             softmax_scale=softmax_scale, block_q=block_q,
             block_k=block_k, q_offsets=q_offsets,
             softmax_bf16=softmax_bf16, rope_tables=rope_tables,
-            qk_int8=qk_int8, score_bound=folded_bound)
+            qk_int8=qk_int8, score_bound=folded_bound,
+            cache_rot_k=cache_rot_k and not causal and not qk_int8)
         return o[:, :lq]
 
     # backward kernel tiles (only used when this call is differentiated):

@@ -59,6 +59,7 @@ def _flash_kernel(
     fused_rope: bool,
     qk_int8: bool,
     static_max: bool,
+    cache_rot_k: bool,
 ):
     idx = 0
     scalar_ref = None
@@ -101,8 +102,13 @@ def _flash_kernel(
     q_scr = qi_scr = sq_scr = None
     if qk_int8:
         qi_scr, sq_scr = refs[idx:idx + 2]  # int8 q tile + per-row scale
+        idx += 2
     elif fused_rope:
         q_scr = refs[idx]
+        idx += 1
+    krot_scr = None
+    if cache_rot_k:
+        krot_scr = refs[idx]  # [Lk, d] rotated-k cache (see below)
 
     i_q = pl.program_id(1)
     i_k = pl.program_id(2)
@@ -227,8 +233,14 @@ def _flash_kernel(
         else:
             if fused_rope:
                 q = q_scr[:]  # rotated + scale-folded at i_k == 0
-                k = _rot(k_ref[0].astype(jnp.float32), ck_ref,
-                         sk_ref).astype(v_ref.dtype)
+                if cache_rot_k:
+                    # rotated once at i_q == 0 (see _fill_krot), reused
+                    # for every later q block — kills the (nq-1)/nq
+                    # redundant per-visit k rotations
+                    k = krot_scr[pl.ds(i_k * block_k, block_k), :]
+                else:
+                    k = _rot(k_ref[0].astype(jnp.float32), ck_ref,
+                             sk_ref).astype(v_ref.dtype)
             else:
                 q = q_ref[0]  # [bq, d] — scale pre-folded by the wrapper
                 k = k_ref[0]  # [bk, d]
@@ -280,6 +292,18 @@ def _flash_kernel(
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
         acc_scr[:] = acc
+
+    if cache_rot_k:
+        # fill the rotated-k cache on the FIRST q block's kv sweep
+        # (non-causal only: causal would skip high-ik blocks at i_q == 0
+        # that later q blocks need — the wrapper asserts). Skipped
+        # kv_len-tail blocks are skipped identically at every i_q, so
+        # their slots are never read.
+        @pl.when(jnp.logical_and(run, i_q == 0))
+        def _fill_krot():
+            krot_scr[pl.ds(i_k * block_k, block_k), :] = _rot(
+                k_ref[0].astype(jnp.float32), ck_ref, sk_ref
+            ).astype(krot_scr.dtype)
 
     # Interior blocks skip every mask op (the dominant case for the Wan
     # self-attention hot path, where only the last kv block carries
@@ -382,6 +406,9 @@ def flash_attention_padded(
     score_bound=None,  # scalar f32: PROVEN upper bound on the FOLDED
                        # (scale*log2e-multiplied) scores -> bounded
                        # softmax, no running max (exact; see kernel)
+    cache_rot_k: bool = False,  # fused-rope only: rotate each k tile
+                                # once (at i_q == 0) into a [Lk, d] VMEM
+                                # cache instead of per-(i_q, i_k) visit
 ) -> jnp.ndarray:
     if interpret is None:
         interpret = _INTERPRET
@@ -476,7 +503,8 @@ def flash_attention_padded(
         has_q_offsets=has_q_offsets, has_segments=has_segments,
         packed_mode=packed_mode, save_residuals=save_residuals,
         softmax_bf16=softmax_bf16, fused_rope=fused_rope,
-        qk_int8=qk_int8, static_max=static_max)
+        qk_int8=qk_int8, static_max=static_max,
+        cache_rot_k=cache_rot_k)
 
     scratch_shapes = []
     if not static_max:
@@ -493,6 +521,13 @@ def flash_attention_padded(
     elif fused_rope:
         # rotated+scaled q tile, computed once per q block
         scratch_shapes.append(pltpu.VMEM((block_q, d), q.dtype))
+    if cache_rot_k:
+        assert fused_rope and not qk_int8 and not causal, \
+            "cache_rot_k requires fused rope, non-causal, no qk_int8"
+        # whole-sequence rotated-k cache (bf16: 33k tokens x d128 =
+        # 8.4 MB) — persists across q blocks, so the q grid axis must
+        # stay sequential (see dimension_semantics below)
+        scratch_shapes.append(pltpu.VMEM((lk, d), v.dtype))
 
     out_spec = pl.BlockSpec((1, block_q, d), q_map,
                             memory_space=pltpu.VMEM)
@@ -517,6 +552,10 @@ def flash_attention_padded(
         transcendentals=b * n * lq * lk,
     )
 
+    # the rotated-k cache persists across q blocks — the q grid axis
+    # must then execute sequentially (megacore may otherwise split it)
+    dims = ("parallel", "arbitrary" if cache_rot_k else "parallel",
+            "arbitrary")
     if has_scalars:
         scalars = jnp.stack([
             (kv_len if has_kv_len else jnp.full((b,), lk)).astype(
@@ -537,7 +576,7 @@ def flash_attention_padded(
             interpret=interpret,
             cost_estimate=cost_estimate,
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                dimension_semantics=dims,
                 # the fused-rope prologue adds 4 fp32 table blocks +
                 # a rotated-q scratch; at bq=2048/bk=1024 the default
                 # 16 MiB scoped-vmem limit overflows by ~36 KiB on v5e
@@ -554,7 +593,7 @@ def flash_attention_padded(
             interpret=interpret,
             cost_estimate=cost_estimate,
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                dimension_semantics=dims,
                 # the fused-rope prologue adds 4 fp32 table blocks +
                 # a rotated-q scratch; at bq=2048/bk=1024 the default
                 # 16 MiB scoped-vmem limit overflows by ~36 KiB on v5e

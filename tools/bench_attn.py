@@ -84,6 +84,16 @@ def bench(fn, *args, iters=5):
     return (time.perf_counter() - t0) / iters
 
 
+def _blocks():
+    """ATTN_BLOCKS='2048x2048[,1024x1024...]' pins the sweep to the
+    listed tiles (one compile each instead of 16 through the tunnel)."""
+    env = os.environ.get("ATTN_BLOCKS", "")
+    if not env:
+        return BLOCKS
+    return [tuple(int(t) for t in pair.split("x"))
+            for pair in env.split(",")]
+
+
 def sweep(name, b, l, n, d, iters):
     key = jax.random.PRNGKey(0)
     q, k, v = (jax.random.normal(kk, (b, l, n, d), jnp.bfloat16)
@@ -92,7 +102,7 @@ def sweep(name, b, l, n, d, iters):
     peak = PEAK.get(jax.default_backend(), 197e12)
     print(f"== {name}: B{b} L{l} H{n} D{d} "
           f"({flops/1e12:.1f} TFLOP/call) ==")
-    for bq, bk in BLOCKS:
+    for bq, bk in _blocks():
         for use_kvlen in (True, False):
             # kvlen=True is the production path whenever L doesn't
             # divide the block (the wrapper pads + masks); kvlen=False
@@ -110,9 +120,12 @@ def sweep(name, b, l, n, d, iters):
                                             "0") == "1",
                 qk_int8=os.environ.get("ATTN_QK_INT8", "0") == "1",
                 score_bound=sb,
-                cache_rot_k=os.environ.get("ATTN_KROT", "0") == "1",
+                # ATTN_KROT: 1 -> force on, off -> force off (reproduces
+                # the per-visit-rotation baseline), unset -> auto
+                cache_rot_k={"1": True, "off": False}.get(
+                    os.environ.get("ATTN_KROT", "")),
                 rope_tables=_rope_tabs(l, d)
-                if (os.environ.get("ATTN_KROT", "0") == "1"
+                if (os.environ.get("ATTN_KROT", "") == "1"
                     or os.environ.get("ATTN_ROPE", "0") == "1")
                 else None))
             try:

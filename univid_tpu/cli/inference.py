@@ -109,15 +109,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "Pallas-only scope like --bf16_softmax. "
                         "Quality gate: qk_int8 row of "
                         "tools/quality_sweep.py")
-    p.add_argument("--bounded_softmax", action="store_true",
-                   help="bounded-softmax flash kernel: the qk-norm "
-                        "gains bound the raw scores by d * max|g_q| * "
-                        "max|g_k| (rope preserves row norms), so the "
-                        "kernel pins the online-softmax reference "
-                        "point there instead of tracking a running "
-                        "max — mathematically EXACT (the constant "
-                        "cancels in acc/l), drops the max reduce / "
-                        "correction / rescale per kv block. "
+    p.add_argument("--bounded_softmax", default=True,
+                   action=argparse.BooleanOptionalAction,
+                   help="bounded-softmax flash kernel (DEFAULT ON): the "
+                        "qk-norm gains bound the raw scores by d * "
+                        "max|g_q| * max|g_k| (rope preserves row "
+                        "norms), so the kernel pins the online-softmax "
+                        "reference point there instead of tracking a "
+                        "running max — mathematically EXACT (the "
+                        "constant cancels in acc/l), drops the max "
+                        "reduce / correction / rescale per kv block. "
+                        "Measured 89.7 -> 77.9 ms kernel (74.7 -> 86.0% "
+                        "MFU) at the 1.3B 33k-token v5e shape. "
                         "Pallas-only scope like --bf16_softmax.")
     p.add_argument("--solver", type=str, default="unipc",
                    choices=["unipc", "dpm++", "dpm++3"])

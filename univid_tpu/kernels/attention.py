@@ -127,6 +127,18 @@ def mha_reference(q, k, v, *, causal=False, q_offset=0, kv_len=None,
     return o.astype(q.dtype)
 
 
+def _krot_auto(cache_rot_k, causal, qk_int8, lk_pad, d, itemsize):
+    """Rotated-k VMEM cache default: ON for non-causal fused-rope calls
+    whose whole-sequence cache stays small (<= 12 MB — 33k x d128 bf16
+    is 8.4 MB; the v5e scoped-VMEM budget is 64 MB). Measured +1.6%
+    kernel at the 1.3B 33k shape (89.7 -> 88.3 ms; composes with the
+    bounded softmax to 77.2 ms / 86.7% MFU). Pass False/True to
+    override."""
+    if cache_rot_k is None:
+        cache_rot_k = lk_pad * d * itemsize <= 12 * 1024 * 1024
+    return bool(cache_rot_k) and not causal and not qk_int8
+
+
 def _zero_cot(x):
     """Cotangent for a non-differentiable array arg: float0 zeros for int
     arrays (required by custom_vjp), zeros_like for float arrays, None for
@@ -214,7 +226,7 @@ def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
               block_q=None, block_k=None, packed_mode=False,
               q_offsets=None, softmax_bf16=False, rope_tables=None,
               bwd_block_q=None, bwd_block_k=None, qk_int8=False,
-              score_bound=None, cache_rot_k=False):
+              score_bound=None, cache_rot_k=None):
     """Multi-head attention over [B, L, N, D] tensors.
 
     Default block sizes auto-tune by sequence length: the v5e sweep
@@ -319,7 +331,9 @@ def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
             block_k=block_k, q_offsets=q_offsets,
             softmax_bf16=softmax_bf16, rope_tables=rope_tables,
             qk_int8=qk_int8, score_bound=folded_bound,
-            cache_rot_k=cache_rot_k and not causal and not qk_int8)
+            cache_rot_k=_krot_auto(cache_rot_k, causal, qk_int8,
+                                   _round_up(lk, block_k), d,
+                                   v.dtype.itemsize))
         return o[:, :lq]
 
     # backward kernel tiles (only used when this call is differentiated):

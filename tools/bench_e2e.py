@@ -183,6 +183,10 @@ def main():
     policy = BF16_RESIDUAL_POLICY \
         if os.environ.get("BENCH_BF16_RESIDUAL", "1") != "0" \
         else DEFAULT_POLICY
+    if os.environ.get("BENCH_BOUNDED", "1") != "0":
+        # bounded softmax default, same knob as bench.py (exact math)
+        import dataclasses
+        policy = dataclasses.replace(policy, bounded_softmax=True)
     pipe = WanTI2VPipeline(spec, dit_params, vae_params, policy=policy)
 
     kw = dict(size=(w, h), frame_num=frames, sampling_steps=steps,

@@ -77,6 +77,14 @@ def main():
     policy = DEFAULT_POLICY \
         if os.environ.get("BENCH_TRAIN_FP32_RESIDUAL", "0") != "0" \
         else BF16_RESIDUAL_POLICY
+    if os.environ.get("BENCH_BOUNDED", "1") != "0":
+        # bounded softmax in the TRAINING forward too: the score bound
+        # threads through the custom_vjp (zero cotangent) and the
+        # bounded lse (= C + log2 l) feeds the unchanged recompute-p
+        # backward — gradients are exact-math identical. Speeds the
+        # residual-saving forward leg of the step.
+        import dataclasses
+        policy = dataclasses.replace(policy, bounded_softmax=True)
     step, _ = make_diffusion_train_step(
         spec, fusion_cfg, train_cfg, tx, dit_params, None, (f, lh, lw),
         lora_template=lora_template, remat_blocks=remat_blocks,

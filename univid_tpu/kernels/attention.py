@@ -275,6 +275,13 @@ def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
             # it adds no extra q padding
             block_q = 2048 if _round_up(lq, 2048) == _round_up(lq, 1024) \
                 else 1024
+            if score_bound is not None \
+                    and _round_up(lq, 4096) == _round_up(lq, 1024):
+                # bounded softmax frees the m scratch + correction chain,
+                # and the r5 v5e sweep shows the old wide-tile VMEM
+                # spill is gone: (4096, 2048) 75.8 ms / 88.3% MFU vs
+                # (2048, 2048) 77.2 / 86.7% at the 1.3B 33k shape
+                block_q = 4096
         else:
             block_q = 256
     if block_k is None:

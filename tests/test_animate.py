@@ -411,3 +411,32 @@ def test_clip_text_matches_reference_xlm_roberta():
     got = np.asarray(clip_text_forward(params, cfg,
                                        jnp.asarray(ids, jnp.int32)))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_animate_bounded_softmax_policy_parity(animate_setup):
+    """bounded_softmax policy wiring on the animate model: the bound
+    scalars (qk-norm gain products, self + text-kv + img-kv cross) are
+    computed and passed without changing outputs (exact math; the XLA
+    fallback used on CPU ignores the bound, and the Pallas kernel's
+    bounded path is parity-pinned in test_attention.py)."""
+    import dataclasses
+
+    base = _fwd(animate_setup)
+    pol = dataclasses.replace(FP32_POLICY, bounded_softmax=True)
+    b, f_lat, hh, ww = 1, 2, 4, 4
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (b, f_lat + 1, hh, ww, TINY.in_dim))
+    t = jnp.full((b,), 500.0)
+    ctx = jax.random.normal(jax.random.PRNGKey(2),
+                            (b, TINY.text_len, TINY.text_dim))
+    clip_fea = jax.random.normal(jax.random.PRNGKey(3),
+                                 (b, TINY.clip_tokens, TINY.clip_dim))
+    pose = jax.random.normal(jax.random.PRNGKey(4),
+                             (b, f_lat, hh, ww, TINY.vae_z_dim))
+    face = jax.random.normal(
+        jax.random.PRNGKey(5),
+        (b, 5, TINY.motion_size, TINY.motion_size, 3))
+    bd = wan_animate_forward(animate_setup, TINY, x, t, ctx, clip_fea,
+                             pose, face, policy=pol)
+    np.testing.assert_allclose(np.asarray(bd), np.asarray(base),
+                               rtol=1e-6, atol=1e-6)

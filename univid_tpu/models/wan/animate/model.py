@@ -260,8 +260,17 @@ def wan_animate_forward(
         k = apply_rope(k, rope_cos, rope_sin).astype(policy.compute_dtype)
         # softmax_bf16 threaded like the base DiT (dit.py): the CLI
         # --bf16_softmax knob must not silently no-op on the animate path
+        sbound = None
+        if policy.bounded_softmax and cfg.qk_norm:
+            # bounded softmax (exact, core/dtypes.py): same qk-norm
+            # score bound as the base DiT; rope preserves row norms
+            sbound = 1.01 * dh * jnp.max(jnp.abs(
+                bp["self_attn"]["norm_q"].astype(jnp.float32))) \
+                * jnp.max(jnp.abs(
+                    bp["self_attn"]["norm_k"].astype(jnp.float32)))
         attn = attention(q, k, v,
-                         softmax_bf16=policy.softmax_bf16
+                         softmax_bf16=policy.softmax_bf16,
+                         score_bound=sbound
                          ).reshape(b, l, cfg.dim)
         attn = nn.linear(bp["self_attn"]["o"], attn,
                          compute_dtype=policy.compute_dtype)
@@ -287,8 +296,18 @@ def wan_animate_forward(
         v = nn.linear(ca["v"], ctx_text,
                       compute_dtype=policy.compute_dtype)
         lt = ctx_text.shape[1]
+
+        def _cbound(nk_name):
+            if not (policy.bounded_softmax and cfg.qk_norm):
+                return None
+            return 1.01 * dh * jnp.max(jnp.abs(
+                ca["norm_q"].astype(jnp.float32))) \
+                * jnp.max(jnp.abs(ca[nk_name].astype(jnp.float32)))
+
         o = attention(q, k.reshape(b, lt, n, dh),
-                      v.reshape(b, lt, n, dh)).reshape(b, l, cfg.dim)
+                      v.reshape(b, lt, n, dh),
+                      score_bound=_cbound("norm_k")
+                      ).reshape(b, l, cfg.dim)
         if ctx_img is not None:
             ki = nn.linear(ca["k_img"], ctx_img,
                            compute_dtype=policy.compute_dtype)
@@ -299,8 +318,9 @@ def wan_animate_forward(
                            compute_dtype=policy.compute_dtype)
             li = ctx_img.shape[1]
             oi = attention(q, ki.reshape(b, li, n, dh),
-                           vi.reshape(b, li, n, dh)).reshape(b, l,
-                                                             cfg.dim)
+                           vi.reshape(b, li, n, dh),
+                           score_bound=_cbound("norm_k_img")
+                           ).reshape(b, l, cfg.dim)
             o = o + oi
         o = nn.linear(ca["o"], o, compute_dtype=policy.compute_dtype)
         x32 = x32 + o.astype(jnp.float32)

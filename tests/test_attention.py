@@ -554,3 +554,28 @@ def test_cache_rot_k_matches_per_visit_rotation():
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(bd), np.asarray(base),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_q_fold_layout_matches_hybrid():
+    """Folded q/out layout (q_fold, auto-on for single-kv-block calls
+    with a long q loop) == the hybrid layout, incl. save_residuals."""
+    b, lq, lk, n, d = 2, 1024, 128, 2, 128
+    q = jnp.asarray(_rand((b, lq, n, d), 0))
+    k = jnp.asarray(_rand((b, lk, n, d), 1))
+    v = jnp.asarray(_rand((b, lk, n, d), 2))
+    base = flash_attention_padded(q, k, v, block_q=128, block_k=128,
+                                  interpret=True, q_fold=False)
+    fold = flash_attention_padded(q, k, v, block_q=128, block_k=128,
+                                  interpret=True, q_fold=True)
+    np.testing.assert_allclose(np.asarray(fold), np.asarray(base),
+                               rtol=1e-6, atol=1e-6)
+    ob, lb = flash_attention_padded(q, k, v, block_q=128, block_k=128,
+                                    interpret=True, q_fold=False,
+                                    save_residuals=True)
+    of, lf = flash_attention_padded(q, k, v, block_q=128, block_k=128,
+                                    interpret=True, q_fold=True,
+                                    save_residuals=True)
+    np.testing.assert_allclose(np.asarray(of), np.asarray(ob),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lb),
+                               rtol=1e-6, atol=1e-6)

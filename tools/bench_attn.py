@@ -31,6 +31,9 @@ GEOMS = {
     "1.3B_train": dict(b=1, l=32760, n=12, d=128),
     "5B": dict(b=2, l=8190, n=24, d=128),
     "5B_ref": dict(b=2, l=27280, n=24, d=128),
+    # cross-attention shapes: long q, one 512-token kv block (text ctx)
+    "cross_1.3B": dict(b=2, l=32760, n=12, d=128, lk=512),
+    "cross_5B": dict(b=2, l=8190, n=24, d=128, lk=512),
 }
 
 BLOCKS = [(512, 512), (512, 1024), (1024, 512), (1024, 1024),
@@ -94,11 +97,14 @@ def _blocks():
             for pair in env.split(",")]
 
 
-def sweep(name, b, l, n, d, iters):
+def sweep(name, b, l, n, d, iters, lk=None):
     key = jax.random.PRNGKey(0)
-    q, k, v = (jax.random.normal(kk, (b, l, n, d), jnp.bfloat16)
-               for kk in jax.random.split(key, 3))
-    flops = 4 * b * n * l * l * d
+    kq, kk_, kv_ = jax.random.split(key, 3)
+    lk = lk or l
+    q = jax.random.normal(kq, (b, l, n, d), jnp.bfloat16)
+    k = jax.random.normal(kk_, (b, lk, n, d), jnp.bfloat16)
+    v = jax.random.normal(kv_, (b, lk, n, d), jnp.bfloat16)
+    flops = 4 * b * n * l * lk * d
     peak = PEAK.get(jax.default_backend(), 197e12)
     print(f"== {name}: B{b} L{l} H{n} D{d} "
           f"({flops/1e12:.1f} TFLOP/call) ==")
@@ -107,7 +113,7 @@ def sweep(name, b, l, n, d, iters):
             # kvlen=True is the production path whenever L doesn't
             # divide the block (the wrapper pads + masks); kvlen=False
             # isolates the mask predicate's VPU cost
-            kv_len = jnp.full((b,), l, jnp.int32) if use_kvlen else None
+            kv_len = jnp.full((b,), lk, jnp.int32) if use_kvlen else None
             # ATTN_BOUND=1: bounded-softmax kernel (static score bound
             # instead of a running max — timing is value-independent,
             # and these inputs aren't qk-normed so outputs are garbage;

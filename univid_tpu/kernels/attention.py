@@ -270,7 +270,16 @@ def attention(q, k, v, *, causal=False, q_offset=0, kv_len=None,
             softmax_scale=softmax_scale, packed_mode=packed_mode,
             q_offsets=q_offsets)
     if block_q is None:
-        if lq >= 4096:
+        if lk <= 512 and lq >= 4096:
+            # cross-attention (one tiny kv block): the kernel is
+            # q/out-DMA-bound and runs the folded q layout (see
+            # flash_attention_padded q_fold); the r5 v5e sweep at the
+            # 1.3B cross shape (32,760 q x 512 kv) measured 9.0 ms at
+            # (512, 512) vs 9.9-11.8 ms at the wide self-attention
+            # tiles — wide q tiles only amortize softmax over a kv
+            # loop this shape doesn't have
+            block_q = 512
+        elif lq >= 4096:
             # 2048 is ~3% faster than 1024 on v5e but only worth it when
             # it adds no extra q padding
             block_q = 2048 if _round_up(lq, 2048) == _round_up(lq, 1024) \

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -409,6 +410,8 @@ def flash_attention_padded(
     cache_rot_k: bool = False,  # fused-rope only: rotate each k tile
                                 # once (at i_q == 0) into a [Lk, d] VMEM
                                 # cache instead of per-(i_q, i_k) visit
+    q_fold=None,  # fold q/out to [B*N, L, D] (contiguous DMA; wins when
+                  # kv is tiny — see layout comment). None = auto.
 ) -> jnp.ndarray:
     if interpret is None:
         interpret = _INTERPRET
@@ -444,13 +447,32 @@ def flash_attention_padded(
     # are RE-READ lq/block_q times, which amplifies the strided-read
     # penalty past the one-time transpose cost (+3.6 ms/call measured
     # fully-native), so they keep the [B*N, L, D] fold.
-    qf = q.reshape(b, lq, n * d)
+    #
+    # EXCEPTION (q_fold): when kv is tiny (cross-attention: lk <= one
+    # block) the kernel is q/out-DMA-bound, not compute-bound — there
+    # is no kv loop to hide the strided per-head reads behind. Folding
+    # q/out to [B*N, L, D] (one XLA transpose each way, contiguous
+    # DMA inside) wins there.
+    if q_fold is None:
+        env = os.environ.get("ATTN_QFOLD")  # bench A/B override
+        if env is not None:
+            q_fold = env == "1"
+        else:
+            # auto: single kv block (cross-attention) and a long q
+            # loop — the q/out DMA dominates, fold pays for its two
+            # transposes
+            q_fold = (lk <= block_k) and (lq // block_q >= 4)
+    if q_fold:
+        qf = q.transpose(0, 2, 1, 3).reshape(b * n, lq, d)
+        q_map = lambda ibn, iq, ik, *_: (ibn, iq, 0)
+    else:
+        qf = q.reshape(b, lq, n * d)
+        q_map = lambda ibn, iq, ik, *_, _n=n: (ibn // _n, iq, ibn % _n)
     kf = k.transpose(0, 2, 1, 3).reshape(b * n, lk, d)
     vf = v.transpose(0, 2, 1, 3).reshape(b * n, lk, d)
 
     grid = (b * n, lq // block_q, lk // block_k)
 
-    q_map = lambda ibn, iq, ik, *_, _n=n: (ibn // _n, iq, ibn % _n)
     kv_map = lambda ibn, iq, ik, *_: (ibn, ik, 0)
     in_specs = [
         pl.BlockSpec((1, block_q, d), q_map, memory_space=pltpu.VMEM),
@@ -531,7 +553,8 @@ def flash_attention_padded(
 
     out_spec = pl.BlockSpec((1, block_q, d), q_map,
                             memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((b, lq, n * d), q.dtype)
+    out_shape = jax.ShapeDtypeStruct(
+        (b * n, lq, d) if q_fold else (b, lq, n * d), q.dtype)
     if save_residuals:
         # lse in the lane-broadcast [B*N, Lq, 128] layout so the backward
         # kernels read per-row stats as [bq, 128] tiles without transposes
@@ -602,7 +625,11 @@ def flash_attention_padded(
 
     if save_residuals:
         out, lse = out
+        if q_fold:
+            return out.reshape(b, n, lq, d).transpose(0, 2, 1, 3), lse
         return out.reshape(b, lq, n, d), lse
+    if q_fold:
+        return out.reshape(b, n, lq, d).transpose(0, 2, 1, 3)
     return out.reshape(b, lq, n, d)
 
 

@@ -579,3 +579,48 @@ def test_q_fold_layout_matches_hybrid():
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(lf), np.asarray(lb),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("use_kvlen", [False, True])
+@pytest.mark.parametrize("bound", [None, 16.0])
+def test_cross_kernel_matches_generic(use_kvlen, bound):
+    """Single-kv-block dispatch (_cross_kernel, auto for cross-attention
+    shapes) == the generic grid (forced via explicit q_fold)."""
+    b, lq, lk, n, d = 2, 1024, 256, 3, 128
+    q = jnp.asarray(_rand((b, lq, n, d), 3))
+    k = jnp.asarray(_rand((b, lk, n, d), 4))
+    v = jnp.asarray(_rand((b, lk, n, d), 5))
+    kv_len = jnp.asarray([256, 100], jnp.int32) if use_kvlen else None
+    sb = None
+    if bound is not None:
+        # folded-domain bound (scale * log2e applied by the wrapper)
+        import math
+        sb = jnp.float32(bound / math.sqrt(d) * math.log2(math.e))
+    base = flash_attention_padded(q, k, v, block_q=256, block_k=256,
+                                  kv_len=kv_len, score_bound=sb,
+                                  interpret=True, q_fold=False)
+    fast = flash_attention_padded(q, k, v, block_q=256, block_k=256,
+                                  kv_len=kv_len, score_bound=sb,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(base),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_cross_kernel_zero_kv_len_rows():
+    """A batch row with kv_len == 0 must produce zeros (matches the
+    generic kernel's l == 0 guard), not nan."""
+    b, lq, lk, n, d = 2, 512, 128, 2, 128
+    q = jnp.asarray(_rand((b, lq, n, d), 6))
+    k = jnp.asarray(_rand((b, lk, n, d), 7))
+    v = jnp.asarray(_rand((b, lk, n, d), 8))
+    kv_len = jnp.asarray([0, 128], jnp.int32)
+    out = flash_attention_padded(q, k, v, block_q=256, block_k=128,
+                                 kv_len=kv_len, interpret=True)
+    out = np.asarray(out)
+    assert np.all(np.isfinite(out))
+    np.testing.assert_array_equal(out[0], 0.0)
+    ref = flash_attention_padded(q, k, v, block_q=256, block_k=128,
+                                 kv_len=kv_len, interpret=True,
+                                 q_fold=False)
+    np.testing.assert_allclose(out[1], np.asarray(ref)[1],
+                               rtol=2e-5, atol=2e-5)

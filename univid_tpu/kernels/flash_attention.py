@@ -352,6 +352,131 @@ def _flash_kernel(
                 jnp.float32(-NEG_INF))
 
 
+def _cross_kernel(
+    *refs,
+    num_heads: int,
+    lk: int,
+    has_kv_len: bool,
+    static_max: bool,
+    softmax_bf16: bool,
+):
+    """Single-kv-block (cross-)attention: grid (B, Lq/block_q), the whole
+    per-batch kv [N*Lk, D] resident in VMEM, heads unrolled inside.
+
+    Why a dedicated kernel: at the Wan cross shape (32,760 q x 512 text
+    kv — ref wan/utils/modules/model.py:158 WanCrossAttention, which
+    runs flash-attn over the same single text block) the generic grid
+    is (B*N, nq, 1) = 1,536 tiny invocations whose per-invocation
+    overhead dominates — measured 9.9 ms vs ~1.6 ms of DMA+MXU
+    speed-of-light. Collapsing heads into the kernel body cuts the grid
+    to (B, nq) and lets q/out keep their native [B, L, N*D] layout
+    (zero XLA transposes). With one kv block the softmax is one-shot —
+    no running max / correction / accumulator scratch at all."""
+    idx = 0
+    scalar_ref = refs[idx] if has_kv_len else None
+    idx += int(has_kv_len)
+    q_ref, k_ref, v_ref = refs[idx:idx + 3]
+    idx += 3
+    bound_ref = None
+    if static_max:
+        bound_ref = refs[idx]
+        idx += 1
+    o_ref = refs[idx]
+
+    b = pl.program_id(0)
+    d = k_ref.shape[-1]
+    kv_mask = None
+    if has_kv_len:
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (q_ref.shape[1], lk), 1)
+        kv_mask = col < scalar_ref[0, b]
+
+    for h in range(num_heads):
+        qh = q_ref[0, :, h * d:(h + 1) * d]          # [bq, d]
+        kh = k_ref[0, h * lk:(h + 1) * lk, :]        # [lk, d]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [bq, lk]
+        if kv_mask is not None:
+            s = jnp.where(kv_mask, s, NEG_INF)
+        if softmax_bf16:
+            s = s.astype(jnp.bfloat16)
+        if static_max:
+            p = jnp.exp2(s - bound_ref[0, 0].astype(s.dtype))
+        else:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+        if kv_mask is not None:
+            # NEG_INF is a finite sentinel: a fully-masked row would
+            # otherwise softmax to uniform (exp2(0)); zero it exactly
+            p = jnp.where(kv_mask, p, jnp.zeros_like(p))
+        l = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+        inv = jnp.where(l > 0.0, 1.0 / jnp.where(l > 0.0, l, 1.0), 0.0)
+        vh = v_ref[0, h * lk:(h + 1) * lk, :]        # [lk, d]
+        o = jax.lax.dot_general(
+            p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [bq, d]
+        o_ref[0, :, h * d:(h + 1) * d] = (o * inv).astype(o_ref.dtype)
+
+
+def _cross_attention_padded(q, k, v, *, kv_len, score_bound, block_q,
+                            softmax_bf16, interpret):
+    """Dispatch target for single-kv-block non-causal attention. q is
+    already scale*log2(e)-folded by the caller; shapes are padded."""
+    b, lq, n, d = q.shape
+    lk = k.shape[1]
+    qf = q.reshape(b, lq, n * d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b, n * lk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b, n * lk, d)
+    grid = (b, lq // block_q)
+
+    q_map = lambda ib, iq, *_: (ib, iq, 0)
+    kv_map = lambda ib, iq, *_: (ib, 0, 0)
+    in_specs = [
+        pl.BlockSpec((1, block_q, n * d), q_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n * lk, d), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n * lk, d), kv_map, memory_space=pltpu.VMEM),
+    ]
+    inputs = [qf, kf, vf]
+    static_max = score_bound is not None
+    if static_max:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(score_bound, jnp.float32).reshape(1, 1))
+
+    has_kv_len = kv_len is not None
+    kernel = functools.partial(
+        _cross_kernel, num_heads=n, lk=lk, has_kv_len=has_kv_len,
+        static_max=static_max, softmax_bf16=softmax_bf16)
+    out_spec = pl.BlockSpec((1, block_q, n * d), q_map,
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, lq, n * d), q.dtype)
+    cost_estimate = pl.CostEstimate(
+        flops=4 * b * n * lq * lk * d,
+        bytes_accessed=(qf.size + kf.size + vf.size + qf.size)
+        * qf.dtype.itemsize,
+        transcendentals=b * n * lq * lk,
+    )
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel"),
+        vmem_limit_bytes=64 * 1024 * 1024)
+    if has_kv_len:
+        scalars = kv_len.astype(jnp.int32).reshape(1, b)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            out_specs=out_spec, scratch_shapes=[])
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret, cost_estimate=cost_estimate,
+            compiler_params=params)(scalars, *inputs)
+    else:
+        out = pl.pallas_call(
+            kernel, grid=grid, in_specs=in_specs, out_specs=out_spec,
+            out_shape=out_shape, interpret=interpret,
+            cost_estimate=cost_estimate,
+            compiler_params=params)(*inputs)
+    return out.reshape(b, lq, n, d)
+
+
 def build_fused_rope_tables(cos: jnp.ndarray, sin: jnp.ndarray, d: int,
                             softmax_scale: Optional[float] = None):
     """[L, d/2] rope tables -> the 4 full-width fp32 tables the kernel's
@@ -438,6 +563,20 @@ def flash_attention_padded(
         # instead of scaling every [bq, bk] score tile inside the
         # kernel (O(L^2)); the kernel softmax runs in the exp2 domain
         q = q * jnp.asarray(softmax_scale * math.log2(math.e), q.dtype)
+
+    # Single-kv-block fast path (cross-attention): see _cross_kernel.
+    # Inference-only (the residual-saving training forward keeps the
+    # generic grid whose lse layout the backward kernels expect).
+    if (lk <= block_k and not causal and not fused_rope
+            and q_segments is None and not packed_mode and q_offset == 0
+            and q_offsets is None and not qk_int8 and not save_residuals
+            and d % 128 == 0 and lk % 128 == 0 and q_fold is None
+            and n * lk * d * k.dtype.itemsize <= 8 * 1024 * 1024
+            and os.environ.get("ATTN_XK", "1") == "1"):
+        return _cross_attention_padded(
+            q, k, v, kv_len=kv_len, score_bound=score_bound,
+            block_q=block_q, softmax_bf16=softmax_bf16,
+            interpret=interpret)
 
     # HYBRID layout (profiled on the 1.3B step): q and the output are
     # touched ONCE per element, so they stay in the native [B, L, N*D]
